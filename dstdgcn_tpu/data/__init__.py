@@ -1,0 +1,13 @@
+from . import datasets, kinematics, loader, transforms
+from .datasets import (CMUMocap, Human36M, MotionDataset, PW3D, Synthetic,
+                       define_actions, get_dataset)
+from .loader import Loader
+from .transforms import (MeanStdNorm, MinMaxNorm, TimeTransform,
+                         get_transform, mirror_sequences, padding_indices)
+
+__all__ = [
+    "datasets", "kinematics", "loader", "transforms", "CMUMocap", "Human36M",
+    "MotionDataset", "PW3D", "Synthetic", "define_actions", "get_dataset",
+    "Loader", "MeanStdNorm", "MinMaxNorm", "TimeTransform", "get_transform",
+    "mirror_sequences", "padding_indices",
+]

@@ -1,0 +1,365 @@
+"""Prediction engine: jitted training/eval loops, optimizer, checkpointing.
+
+Re-design of the reference ``PredictionEngine`` (engine/prediction.py:104-430)
+around a single compiled ``train_step``: instead of a Python batch loop
+issuing per-op kernels, the forward + inverse-sequence forward + backward +
+Adam update execute as one XLA program per batch.  Evaluation (dim scatter,
+joint fixups, per-frame MPJPE) also runs on device.
+
+Semantics preserved from the reference:
+  * loss registry binding with weights (ModelWrapper, prediction.py:22-101);
+  * inverse-sequence training averages the two directions' losses
+    (prediction.py:267-287);
+  * Adam + StepLR(step_size, gamma) stepped per epoch (prediction.py:184-196);
+  * both forwards run in train mode (BatchNorm batch stats + updates twice
+    per step, in order);
+  * checkpoints carry model/optimizer/lr/epoch and best-error tracking.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import pickle
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..data import transforms as tfm
+from . import losses as L
+
+Array = jax.Array
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    dropout_key: Array
+
+
+def steplr(lr0: float, gamma: float, step_size: int) -> Callable[[int], float]:
+    """torch StepLR: lr(epoch) = lr0 * gamma ** (epoch // step_size)."""
+
+    def schedule(epoch: int) -> float:
+        return lr0 * (gamma ** (epoch // step_size))
+
+    return schedule
+
+
+class PredictionEngine:
+    """Owns model state, optimizer, compiled steps, and checkpoints.
+
+    ``config`` is the ``engine`` block of the experiment config (same schema
+    as the reference: learn{opt,lr,weight_decay,gamma,step_size},
+    loss{name: [type, weight]}, n_out, transform, use_weight, inverse,
+    max_iter, optional clip).
+    """
+
+    def __init__(self, config: Dict[str, Any], model, logger=None,
+                 bone_incidence: Optional[np.ndarray] = None,
+                 mesh=None, data_sharding=None):
+        self.model = model
+        self.config = config
+        self.logger = logger
+        self.mesh = mesh
+        self.data_sharding = data_sharding
+
+        reg = L.registry(bone_incidence)
+        self.loss_funcs: Dict[str, Tuple[Callable, float]] = {}
+        for name, spec in config["loss"].items():
+            self.loss_funcs[name] = (reg[spec[0]], float(spec[1]))
+
+        self.transform_fn, self.inverse_fn = tfm.get_transform(
+            config.get("transform", "tsc"))
+
+        learn = config["learn"]
+        self.lr_schedule = steplr(float(learn["lr"]), float(learn["gamma"]),
+                                  int(learn["step_size"]))
+        self.lr = float(learn["lr"])
+        wd = float(learn.get("weight_decay", 0.0))
+        clip = float(config.get("clip", -1))
+        # torch Adam's weight_decay is L2-added-to-grad, i.e. optax
+        # add_decayed_weights before adam — matches prediction.py:187-192
+        if wd > 0:
+            self.tx = optax.inject_hyperparams(
+                lambda learning_rate: optax.chain(
+                    optax.add_decayed_weights(wd),
+                    optax.adam(learning_rate)))(learning_rate=self.lr)
+        else:
+            self.tx = optax.inject_hyperparams(optax.adam)(
+                learning_rate=self.lr)
+        if clip > 0:
+            self.tx = optax.chain(optax.clip_by_global_norm(clip), self.tx)
+        self._clip = clip
+
+        self.best_err = float("inf")
+        self.state: Optional[TrainState] = None
+        self._train_step = None
+        self._train_key = None
+        self._eval_step_cache: Dict[Any, Callable] = {}
+
+    # -- state ------------------------------------------------------------
+
+    def init(self, sample_input: np.ndarray, seed: int = 777) -> TrainState:
+        """Initialize model + optimizer state from a sample flat batch."""
+        x = self.transform(jnp.asarray(sample_input[:1], jnp.float32))
+        variables = self.model.init({"params": jax.random.key(seed)}, x,
+                                    train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        opt_state = self.tx.init(params)
+        self.state = TrainState(params=params, batch_stats=batch_stats,
+                                opt_state=opt_state,
+                                dropout_key=jax.random.key(seed + 1))
+        if self.logger is not None:
+            n = sum(p.size for p in jax.tree.leaves(params))
+            self.logger.info(
+                f"Trainable number of parameters of the network is: {n}")
+        return self.state
+
+    def num_params(self) -> int:
+        return sum(p.size for p in jax.tree.leaves(self.state.params))
+
+    # -- transforms -------------------------------------------------------
+
+    def transform(self, x: Array) -> Array:
+        return x if self.transform_fn is None else self.transform_fn(x)
+
+    def inverse(self, x: Array) -> Array:
+        return x if self.inverse_fn is None else self.inverse_fn(x)
+
+    # -- compiled steps ---------------------------------------------------
+
+    def _build_train_step(self, time_tsfm, scale_tsfm, weights):
+        inverse_training = bool(self.config.get("inverse", False))
+        loss_funcs = self.loss_funcs
+        model = self.model
+        wvec = None if weights is None else jnp.asarray(weights, jnp.float32)
+
+        def one_pass(params, batch_stats, rng, inputs, targets):
+            x = inputs
+            if time_tsfm is not None:
+                x = time_tsfm.transform(x)
+            x = self.transform(x)
+            out, mut = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x,
+                train=True, rngs={"dropout": rng}, mutable=["batch_stats"])
+            out = self.inverse(out)
+            if scale_tsfm is not None:
+                out = scale_tsfm.inverse(out)
+            if time_tsfm is not None:
+                out = time_tsfm.inverse(out)
+            t_out, t_tgt = out.shape[1], targets.shape[1]
+            tgt = targets[:, -t_out:] if t_out != t_tgt else targets
+            losses = {name: w * fn(out, tgt, wvec)
+                      for name, (fn, w) in loss_funcs.items()}
+            return losses, mut["batch_stats"]
+
+        def loss_fn(params, batch_stats, rng, inputs, inputs_inv, targets):
+            r1, r2 = jax.random.split(rng)
+            losses, batch_stats = one_pass(params, batch_stats, r1, inputs,
+                                           targets)
+            total = functools.reduce(jnp.add, losses.values())
+            if inverse_training:
+                targets_inv = targets[:, ::-1]
+                losses_inv, batch_stats = one_pass(
+                    params, batch_stats, r2, inputs_inv, targets_inv)
+                total = (total + functools.reduce(
+                    jnp.add, losses_inv.values())) / 2
+            return total, (losses, batch_stats)
+
+        def train_step(state: TrainState, inputs, inputs_inv, targets, lr):
+            rng, new_key = jax.random.split(state.dropout_key)
+            grads, (losses, new_stats) = jax.grad(
+                loss_fn, has_aux=True)(state.params, state.batch_stats, rng,
+                                       inputs, inputs_inv, targets)
+            opt_state = optax.tree_utils.tree_set(
+                state.opt_state, learning_rate=lr)
+            updates, opt_state = self.tx.update(grads, opt_state,
+                                                state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (TrainState(params=params, batch_stats=new_stats,
+                               opt_state=opt_state, dropout_key=new_key),
+                    losses)
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_eval_step(self, key, input_n, eval_frame, dim_used,
+                         idx_ignore, idx_equal, time_tsfm, scale_tsfm):
+        model = self.model
+        eval_frame = tuple(int(j) for j in eval_frame)
+
+        def eval_step(params, batch_stats, inputs, all_seqs):
+            x = inputs
+            x = self.transform(x)
+            out = model.apply({"params": params, "batch_stats": batch_stats},
+                              x, train=False)
+            out = self.inverse(out)
+            if scale_tsfm is not None:
+                out = scale_tsfm.inverse(out)
+            if time_tsfm is not None:
+                out = time_tsfm.inverse(out)
+
+            n, seq_len, _ = all_seqs.shape
+            pred = all_seqs
+            if dim_used is not None:
+                du = jnp.asarray(dim_used)
+                if out.shape[1] != seq_len:
+                    pred = pred.at[:, input_n:, du].set(out)
+                else:
+                    pred = pred.at[:, :, du].set(out)
+            else:
+                if out.shape[1] != seq_len:
+                    pred = pred.at[:, input_n:].set(out)
+                else:
+                    pred = out
+            if idx_ignore is not None:
+                ii = jnp.asarray(idx_ignore)
+                ie = jnp.asarray(idx_equal)
+                pred = pred.at[:, :, ii].set(pred[:, :, ie])
+            pred_p = pred.reshape(n, seq_len, -1, 3)[:, input_n:]
+            targ_p = all_seqs.reshape(n, seq_len, -1, 3)[:, input_n:]
+            # per-eval-frame mean joint L2 (summed over batch via * n later)
+            ef = jnp.asarray(eval_frame)
+            d = jnp.linalg.norm(pred_p[:, ef] - targ_p[:, ef], axis=-1)
+            metric = jnp.mean(d, axis=(0, 2)) * n        # (len(eval_frame),)
+            return metric, pred_p
+
+        return jax.jit(eval_step)
+
+    # -- epochs -----------------------------------------------------------
+
+    def train(self, train_loader, epoch: int, time_tsfm=None, scale_tsfm=None,
+              weights=None, max_iter: int = -1) -> float:
+        """One training epoch; returns the summed average losses."""
+        assert self.state is not None, "call init() first"
+        self.lr = self.lr_schedule(epoch)
+        key = (id(time_tsfm), id(scale_tsfm), weights is not None)
+        if self._train_step is None or self._train_key != key:
+            self._train_step = self._build_train_step(time_tsfm, scale_tsfm,
+                                                      weights)
+            self._train_key = key
+
+        t_l = {name: L.AccumLoss() for name in self.loss_funcs}
+        num_iter = (len(train_loader) if max_iter == -1
+                    else min(len(train_loader), max_iter))
+        lr = jnp.asarray(self.lr, jnp.float32)
+        it = iter(train_loader)
+        desc = ""
+        for i in range(num_iter):
+            try:
+                inputs, inputs_inv, targets, _ = next(it)
+            except StopIteration:
+                break
+            n = inputs.shape[0]
+            self.state, losses = self._train_step(
+                self.state, jnp.asarray(inputs, jnp.float32),
+                jnp.asarray(inputs_inv, jnp.float32),
+                jnp.asarray(targets, jnp.float32), lr)
+            for name, val in losses.items():
+                t_l[name].update(float(val) * n, n)
+            desc = f"epoch: {epoch + 1}|[{i + 1}/{num_iter}]|train|" + "".join(
+                "{}:{:.2f}|".format(name, t_l[name].avg) for name in t_l)
+        if self.logger is not None:
+            self.logger.info(desc)
+        return sum(acc.avg for acc in t_l.values())
+
+    def test(self, test_loader, input_n: int = 10, eval_frame=None,
+             dim_used=None, joint_to_ignore=None, joint_equal=None,
+             time_tsfm=None, scale_tsfm=None, action=None,
+             save_path=None) -> Tuple[float, np.ndarray]:
+        """Evaluation sweep; returns (avg metric, per-eval-frame metrics).
+
+        Protocol parity with reference engine.test (prediction.py:319-430):
+        predictions are scattered into the full-skeleton sequence over
+        ``dim_used``, ignored joints are copied from their "equal" sources,
+        and MPJPE is computed on the output frames only.
+        """
+        assert self.state is not None, "call init() first"
+        assert eval_frame is not None
+        eval_frame = np.asarray(eval_frame)
+        dim_used = None if dim_used is None else np.asarray(dim_used)
+        idx_ignore = idx_equal = None
+        if joint_to_ignore is not None and np.asarray(
+                joint_to_ignore).dtype != object and np.asarray(
+                joint_to_ignore).size and not np.any(
+                np.asarray(joint_to_ignore) == None):  # noqa: E711
+            ji = np.asarray(joint_to_ignore)
+            je = np.asarray(joint_equal)
+            idx_ignore = np.concatenate([ji * 3, ji * 3 + 1, ji * 3 + 2])
+            idx_equal = np.concatenate([je * 3, je * 3 + 1, je * 3 + 2])
+
+        cache_key = (input_n, tuple(eval_frame.tolist()),
+                     None if dim_used is None else tuple(dim_used.tolist()),
+                     None if idx_ignore is None else tuple(idx_ignore),
+                     id(time_tsfm), id(scale_tsfm))
+        step = self._eval_step_cache.get(cache_key)
+        if step is None:
+            step = self._build_eval_step(
+                cache_key, input_n, eval_frame, dim_used, idx_ignore,
+                idx_equal, time_tsfm, scale_tsfm)
+            self._eval_step_cache[cache_key] = step
+
+        t_metric = np.zeros(len(eval_frame))
+        t_l = L.AccumLoss()
+        total_n = 0
+        save_results = {"result": [], "target": []} if save_path else None
+        for inputs, _, _, all_seqs in test_loader:
+            n = inputs.shape[0]
+            metric, pred_p = step(self.state.params, self.state.batch_stats,
+                                  jnp.asarray(inputs, jnp.float32),
+                                  jnp.asarray(all_seqs, jnp.float32))
+            metric = np.asarray(metric)
+            t_metric += metric
+            for m in metric:
+                t_l.update(float(m), n)
+            total_n += n
+            if save_results is not None:
+                save_results["result"].append(np.asarray(pred_p))
+                seq = np.asarray(all_seqs, np.float32)
+                save_results["target"].append(
+                    seq.reshape(n, seq.shape[1], -1, 3)[:, input_n:])
+        t_metric /= max(total_n, 1)
+        if self.logger is not None:
+            self.logger.info(
+                f"action: {action or 'NA'}|test|loss:{t_l.avg:.2f}")
+        if save_results is not None:
+            np.savez(str(save_path) + ".npz",
+                     target=np.concatenate(save_results["target"]),
+                     result=np.concatenate(save_results["result"]))
+        return t_l.avg, t_metric
+
+    # -- checkpointing ----------------------------------------------------
+
+    def save(self, checkpoint_dir: str, err: float, epoch: int,
+             is_best: bool = False) -> None:
+        from .checkpoint import save_checkpoint
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        payload = dict(lr=self.lr, err=err, epoch=epoch)
+        save_checkpoint(os.path.join(checkpoint_dir, "last.ckpt"),
+                        self.state, payload)
+        if is_best:
+            save_checkpoint(os.path.join(checkpoint_dir, "best.ckpt"),
+                            self.state, payload)
+
+    def recover(self, checkpoint_path: str,
+                model_only: bool = False) -> Tuple[int, float]:
+        from .checkpoint import restore_checkpoint
+        state, payload = restore_checkpoint(checkpoint_path, self.state)
+        if not model_only:
+            self.state = state
+            self.lr = payload["lr"]
+        else:
+            self.state = self.state.replace(params=state.params,
+                                            batch_stats=state.batch_stats)
+        if self.logger is not None:
+            self.logger.info(
+                "load from lr {}, curr_avg {} from {}.".format(
+                    payload["lr"], payload["err"], checkpoint_path))
+        return payload["epoch"], payload["err"]

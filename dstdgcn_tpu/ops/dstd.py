@@ -1,0 +1,168 @@
+"""Functional DSTD-GC operators (jnp oracle implementations).
+
+These are the semantic ground truth for the framework's compute path — pure
+functions over channels-last ``(N, T, V, C)`` features.  The math matches the
+reference PyTorch unit (``/root/reference/model/dstdgcn.py:53-94``) but is
+re-expressed TPU-first:
+
+  * channels-last layout keeps C on the minor (lane) dimension;
+  * the per-kernel Python loop of the reference block becomes a stacked
+    kernel axis inside one contraction;
+  * the pairwise-difference "constrained correlation" (an SDDMM-style
+    all-pairs score) and the frame/joint mixing are fused into einsums XLA
+    maps onto the MXU.
+
+The optional Pallas kernels in :mod:`dstdgcn_tpu.kernels` implement the same
+contracts and are golden-tested against these functions.
+
+Shape glossary
+--------------
+N batch, T frames, V joints, C channels, R reduction channels (2), K number
+of stacked graph kernels (2 spatial / 1 temporal).
+
+Weight layouts (channels-last dense kernels):
+  wf  (K, C_in, C_out), bf (K, C_out)        feature transform
+  wm1 (K, C_in, R),     bm1 (K, R)           correlation query proj
+  wm2 (K, C_in, R),     bm2 (K, R)           correlation key proj
+  wrm spatial  (K, R, T, T),  brm (K, T)     frame-mixing of pair scores
+  wrm temporal (K, R, V, V),  brm (K, V)     joint-mixing of pair scores
+
+``wrm[k, r, s, t]`` corresponds to the reference 1x1 conv weight
+``conv_rm.weight[t, r*T + s]`` (dstdgcn.py:68,86).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "dyn_adjacency_spatial",
+    "dyn_adjacency_temporal",
+    "aggregate_spatial",
+    "aggregate_temporal",
+    "dstd_spatial",
+    "dstd_temporal",
+    "sddmm_pairwise_tanh",
+]
+
+
+def _project(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(N,T,V,Ci) x (K,Ci,Co) -> (K,N,T,V,Co); one MXU matmul per kernel."""
+    y = jnp.einsum("ntvc,kcd->kntvd", x, w,
+                   preferred_element_type=jnp.float32)
+    return y + b[:, None, None, None, :]
+
+
+def sddmm_pairwise_tanh(q: jnp.ndarray, k: jnp.ndarray,
+                        mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """All-pairs constrained-correlation scores ``tanh(q_i - k_j)``.
+
+    q, k: (..., P, R) over P nodes -> (..., R, P, P) scores.  The optional
+    0/1 ``mask`` (P, P) restricts score computation to permitted pairs — the
+    general "constrained SDDMM" surface (dense fallback; the Pallas kernel
+    tiles the P x P grid and skips fully-masked blocks).
+    """
+    d = q[..., :, None, :] - k[..., None, :, :]       # (..., P, P, R)
+    s = jnp.tanh(d)
+    if mask is not None:
+        s = s * mask[..., :, :, None]
+    return jnp.moveaxis(s, -1, -3)                    # (..., R, P, P)
+
+
+def dyn_adjacency_spatial(x: jnp.ndarray, wm1, bm1, wm2, bm2, wrm, brm,
+                          mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Dynamic per-frame joint adjacency adjustment.
+
+    x (N,T,V,C) -> (K,N,T,V,V).  Reference dstdgcn.py:82-86: project to R
+    channels, all-pairs tanh difference over joints, then mix the (R, T)
+    score channels into each output frame with ``wrm``.
+    """
+    q = _project(x, wm1, bm1)                         # (K,N,T,V,R)
+    k = _project(x, wm2, bm2)
+    # scores[k,n,s,r,v,w] = tanh(q[k,n,s,v,r] - k[k,n,s,w,r])
+    s = sddmm_pairwise_tanh(q, k, mask)               # (K,N,T,R,V,V)
+    dyn = jnp.einsum("knsrvw,krst->kntvw", s, wrm,
+                     preferred_element_type=jnp.float32)
+    return dyn + brm[:, None, :, None, None]
+
+
+def dyn_adjacency_temporal(x: jnp.ndarray, wm1, bm1, wm2, bm2, wrm, brm,
+                           mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Dynamic per-joint frame adjacency adjustment.
+
+    x (N,T,V,C) -> (K,N,V,T,T).  Reference dstdgcn.py:89-92: pairwise tanh
+    over frames, mixing the (R, V) score channels into each output joint.
+    """
+    q = _project(x, wm1, bm1)                         # (K,N,T,V,R)
+    k = _project(x, wm2, bm2)
+    qt = jnp.swapaxes(q, 2, 3)                        # (K,N,V,T,R)
+    kt = jnp.swapaxes(k, 2, 3)
+    s = sddmm_pairwise_tanh(qt, kt, mask)             # (K,N,V,R,T,T)
+    dyn = jnp.einsum("knvrtu,krvw->knwtu", s, wrm,
+                     preferred_element_type=jnp.float32)
+    return dyn + brm[:, None, :, None, None]
+
+
+def aggregate_spatial(xf: jnp.ndarray, adj: jnp.ndarray,
+                      agg: str = "right") -> jnp.ndarray:
+    """Per-frame dense SpMM over joints, summed over stacked kernels.
+
+    xf (K,N,T,V,C), adj (K,N,T,V,V) -> (N,T,V,C).
+
+    ``agg="right"`` (qualitative variant): out[n,t,w,c] = sum_{k,v}
+    xf[k,n,t,v,c] * adj[k,n,t,v,w] (reference einsum "nctv,ntvw->nctw",
+    dstdgcn.py:87).  ``agg="left"`` (fast variant): out[n,t,v,c] =
+    sum_{k,w} adj[k,n,t,v,w] * xf[k,n,t,w,c] (``torch.matmul(xm, xf)``,
+    dstdgcn_fast.py:125).
+    """
+    eq = "kntvc,kntvw->ntwc" if agg == "right" else "kntvw,kntwc->ntvc"
+    a, b = (xf, adj) if agg == "right" else (adj, xf)
+    return jnp.einsum(eq, a, b, preferred_element_type=jnp.float32)
+
+
+def aggregate_temporal(xf: jnp.ndarray, adj: jnp.ndarray,
+                       agg: str = "right") -> jnp.ndarray:
+    """Per-joint dense SpMM over frames, summed over stacked kernels.
+
+    xf (K,N,T,V,C), adj (K,N,V,T,T) -> (N,T,V,C).
+
+    ``agg="right"``: out[n,u,v,c] = sum_{k,t} xf[k,n,t,v,c] * adj[k,n,v,t,u]
+    (reference einsum "nctv,nvtu->ncuv", dstdgcn.py:93).  ``agg="left"``:
+    out[n,t,v,c] = sum_{k,u} adj[k,n,v,t,u] * xf[k,n,u,v,c]
+    (dstdgcn_fast.py:145-146).
+    """
+    if agg == "right":
+        return jnp.einsum("kntvc,knvtu->nuvc", xf, adj,
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum("knvtu,knuvc->ntvc", adj, xf,
+                      preferred_element_type=jnp.float32)
+
+
+def dstd_spatial(x: jnp.ndarray, base_adj: jnp.ndarray, alpha: jnp.ndarray,
+                 wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
+                 mask: jnp.ndarray | None = None,
+                 agg: str = "right") -> jnp.ndarray:
+    """Full spatial DSTD-GC over K stacked kernels.
+
+    x (N,T,V,Ci), base_adj (K,V,V) static part -> (N,T,V,Co).
+    effective adjacency = dyn * alpha + base (dstdgcn.py:86).
+    """
+    xf = _project(x, wf, bf)                          # (K,N,T,V,Co)
+    dyn = dyn_adjacency_spatial(x, wm1, bm1, wm2, bm2, wrm, brm, mask)
+    adj = dyn * alpha + base_adj[:, None, None, :, :]
+    return aggregate_spatial(xf, adj, agg)
+
+
+def dstd_temporal(x: jnp.ndarray, base_adj: jnp.ndarray, alpha: jnp.ndarray,
+                  wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
+                  mask: jnp.ndarray | None = None,
+                  agg: str = "right") -> jnp.ndarray:
+    """Full temporal DSTD-GC over K stacked kernels.
+
+    x (N,T,V,Ci), base_adj (K,T,T) static part -> (N,T,V,Co).
+    """
+    xf = _project(x, wf, bf)                          # (K,N,T,V,Co)
+    dyn = dyn_adjacency_temporal(x, wm1, bm1, wm2, bm2, wrm, brm, mask)
+    adj = dyn * alpha + base_adj[:, None, None, :, :]
+    return aggregate_temporal(xf, adj, agg)

@@ -1,0 +1,142 @@
+"""Activation parity vs the reference PyTorch model.
+
+The reference implementation (/root/reference, read-only) is imported on CPU,
+its randomly-perturbed weights are converted into our flax pytree, and the
+forward activations are compared allclose — the parity criterion mandated by
+BASELINE.md.  Skipped automatically when the reference checkout or torch is
+unavailable.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+try:
+    from model.dstdgcn import DSTDGCN as RefDSTDGCN  # noqa: E402
+except Exception:  # pragma: no cover - reference not mounted
+    RefDSTDGCN = None
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from dstdgcn_tpu.models import DSTDGCN  # noqa: E402
+from dstdgcn_tpu.utils.convert import torch_state_to_flax  # noqa: E402
+
+pytestmark = pytest.mark.skipif(RefDSTDGCN is None,
+                                reason="reference repo not available")
+
+CFG = dict(input_channels=6, input_time_frame=10, output_time_frame=5,
+           st_gcnn_dropout=0.0, joints_to_consider=22, num_feature=16,
+           num_layers=1, layout="h36m")
+
+
+def _models(seed=0):
+    torch.manual_seed(seed)
+    ref = RefDSTDGCN(**CFG)
+    # perturb every parameter (incl. alpha gates / W_s, zero at init) so the
+    # dynamic-adjacency path is actually exercised
+    with torch.no_grad():
+        for p in ref.parameters():
+            if p.requires_grad:
+                p.add_(0.05 * torch.randn_like(p))
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.add_(0.1 * torch.randn_like(m.running_mean))
+                m.running_var.mul_(
+                    (0.2 * torch.randn_like(m.running_var)).exp())
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    ours = DSTDGCN(**CFG)
+    variables = torch_state_to_flax(sd, num_layers=CFG["num_layers"],
+                                    joints=CFG["joints_to_consider"])
+    return ref, ours, variables
+
+
+def _rel_err(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-8)
+
+
+def test_param_count_matches():
+    ref, ours, variables = _models()
+    n_ref = sum(p.numel() for p in ref.parameters() if p.requires_grad)
+    n_ours = sum(p.size for p in jax.tree.leaves(variables["params"]))
+    assert n_ref == n_ours
+
+
+def test_eval_forward_matches():
+    ref, ours, variables = _models()
+    ref.eval()
+    rng = np.random.RandomState(1)
+    x = rng.randn(4, 15, 22, 3).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x)).numpy()
+    y = ours.apply(variables, jnp.asarray(x), train=False)
+    assert _rel_err(y, y_ref) < 1e-4
+
+
+def test_train_forward_and_batch_stats_match():
+    ref, ours, variables = _models(seed=1)
+    ref.train()
+    rng = np.random.RandomState(2)
+    x = rng.randn(4, 15, 22, 3).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x)).numpy()
+    y, mut = ours.apply(variables, jnp.asarray(x), train=True,
+                        rngs={"dropout": jax.random.key(0)},
+                        mutable=["batch_stats"])
+    assert _rel_err(y, y_ref) < 1e-4
+
+    # running statistics must update identically (torch BatchNorm1d momentum
+    # 0.1, unbiased running var)
+    ref_stats = {k: v.detach().numpy() for k, v in ref.state_dict().items()
+                 if "running" in k}
+    m = ref_stats["bn_in.bn.running_mean"].reshape(16, 22).T
+    v = ref_stats["bn_in.bn.running_var"].reshape(16, 22).T
+    ours_m = np.asarray(mut["batch_stats"]["bn_in"]["mean"])
+    ours_v = np.asarray(mut["batch_stats"]["bn_in"]["var"])
+    assert _rel_err(ours_m, m) < 1e-4
+    assert _rel_err(ours_v, v) < 1e-4
+
+
+def test_gradients_match():
+    ref, ours, variables = _models(seed=2)
+    ref.train()
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 15, 22, 3).astype(np.float32)
+    xt = torch.from_numpy(x)
+    y_ref = ref(xt)
+    loss_ref = (y_ref ** 2).mean()
+    loss_ref.backward()
+
+    def loss_fn(params):
+        y = ours.apply({"params": params,
+                        "batch_stats": variables["batch_stats"]},
+                       jnp.asarray(x), train=True,
+                       rngs={"dropout": jax.random.key(0)},
+                       mutable=["batch_stats"])[0]
+        return jnp.mean(y ** 2)
+
+    g = jax.grad(loss_fn)(variables["params"])
+    # spot-check a few representative gradients
+    blk = dict(ref.named_parameters())
+    pairs = [
+        (g["conv_st_in"]["block"]["alpha_sm"],
+         blk["conv_st_in.stgcn.0.0.alpha_sm"].grad.numpy()),
+        (g["conv_st_in"]["block"]["W_s"],
+         blk["conv_st_in.stgcn.0.0.W_s"].grad.numpy()),
+        (np.moveaxis(np.asarray(
+            g["encoder_0"]["block"]["spatial"]["wf"]), -1, -2)[1],
+         blk["encoders.0.0.stgcn.0.0.conv_s.1.conv_f.weight"]
+         .grad.numpy()[:, :, 0, 0]),
+        (g["encoder_0"]["block"]["temporal"]["brm"][0],
+         blk["encoders.0.0.stgcn.0.0.conv_t.0.conv_rm.bias"].grad.numpy()),
+    ]
+    for a, b in pairs:
+        assert _rel_err(a, b) < 1e-3
