@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Benchmark harness: edges/s/chip for the DSTD-GC compute path.
+
+Measures the flagship DSTD-GCN forward (full H36M config) on the attached
+chip and reports dynamic-graph edges processed per second — each (frame,
+src-joint, dst-joint) / (joint, src-frame, dst-frame) pair costs one SDDMM
+score plus one SpMM multiply-accumulate, per stacked kernel.
+
+``vs_baseline`` compares against a faithful reference-style implementation
+(channels-first layout, per-kernel Python loop, op-by-op einsums mirroring
+/root/reference/model/dstdgcn.py) jitted on the same chip — i.e. what a
+direct port of the PyTorch graph would give XLA — so the number isolates
+the TPU-first design (channels-last, stacked kernels, fused contractions).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _edges_per_forward(n, t, v, num_blocks, k_s=2, k_t=1):
+    spatial = k_s * n * t * v * v
+    temporal = k_t * n * v * t * t
+    return num_blocks * (spatial + temporal)
+
+
+def naive_reference_forward(params_list, x_ncTV):
+    """Reference-structured forward: per-kernel loop, separate einsums,
+    channels-first (N, C, T, V) — the shape of a direct port."""
+    import jax.numpy as jnp
+
+    x = x_ncTV
+    for p in params_list:
+        # spatial kernels, summed in a Python loop (dstdgcn.py:145-151)
+        y = None
+        for k in range(p["wf_s"].shape[0]):
+            xf = jnp.einsum("nctv,cd->ndtv", x, p["wf_s"][k]) \
+                + p["bf_s"][k][None, :, None, None]
+            xm1 = jnp.einsum("nctv,cr->nrtv", x, p["wm1_s"][k]) \
+                + p["bm1_s"][k][None, :, None, None]
+            xm2 = jnp.einsum("nctv,cr->nrtv", x, p["wm2_s"][k]) \
+                + p["bm2_s"][k][None, :, None, None]
+            n_, r_, t_, v_ = xm1.shape
+            sc = jnp.tanh(xm1.reshape(n_, r_ * t_, v_)[:, :, :, None]
+                          - xm2.reshape(n_, r_ * t_, v_)[:, :, None, :])
+            dyn = jnp.einsum("nsvw,ts->ntvw",
+                             sc.reshape(n_, r_ * t_, v_, v_),
+                             p["wrm_s_ref"][k]) \
+                + p["brm_s"][k][None, :, None, None]
+            adj = dyn * p["alpha_s"] + p["base_s"][k][None, None]
+            z = jnp.einsum("nctv,ntvw->nctw", xf, adj)
+            y = z if y is None else y + z
+        x = y
+        # temporal kernel (dstdgcn.py:156-161)
+        y = None
+        for k in range(p["wf_t"].shape[0]):
+            xf = jnp.einsum("nctv,cd->ndtv", x, p["wf_t"][k]) \
+                + p["bf_t"][k][None, :, None, None]
+            xm1 = jnp.einsum("nctv,cr->nrtv", x, p["wm1_t"][k]) \
+                + p["bm1_t"][k][None, :, None, None]
+            xm2 = jnp.einsum("nctv,cr->nrtv", x, p["wm2_t"][k]) \
+                + p["bm2_t"][k][None, :, None, None]
+            xm1 = jnp.transpose(xm1, (0, 1, 3, 2))
+            xm2 = jnp.transpose(xm2, (0, 1, 3, 2))
+            n_, r_, v_, t_ = xm1.shape
+            sc = jnp.tanh(xm1.reshape(n_, r_ * v_, t_)[:, :, :, None]
+                          - xm2.reshape(n_, r_ * v_, t_)[:, :, None, :])
+            dyn = jnp.einsum("nstu,vs->nvtu",
+                             sc.reshape(n_, r_ * v_, t_, t_),
+                             p["wrm_t_ref"][k]) \
+                + p["brm_t"][k][None, :, None, None]
+            adj = dyn * p["alpha_t"] + p["base_t"][k][None, None]
+            z = jnp.einsum("nctv,nvtu->ncuv", xf, adj)
+            y = z if y is None else y + z
+        x = y
+    return x
+
+
+def _naive_params(rng, num_blocks, c, t, v, k_s=2, k_t=1):
+    import jax.numpy as jnp
+
+    def mk(*shape):
+        return jnp.asarray(rng.randn(*shape).astype(np.float32) * 0.05)
+
+    out = []
+    for _ in range(num_blocks):
+        # wrm stored in both layouts from the same values: torch conv layout
+        # (ref_out, R*ref_in) for the naive path, (R, ref_in, ref_out) for
+        # ours (see utils/convert.py::_rm)
+        wrm_s_ref = mk(k_s, t, 2 * t)
+        wrm_t_ref = mk(k_t, v, 2 * v)
+        out.append(dict(
+            wf_s=mk(k_s, c, c), bf_s=mk(k_s, c),
+            wm1_s=mk(k_s, c, 2), bm1_s=mk(k_s, 2),
+            wm2_s=mk(k_s, c, 2), bm2_s=mk(k_s, 2),
+            wrm_s_ref=wrm_s_ref,
+            wrm_s=wrm_s_ref.reshape(k_s, t, 2, t).transpose(0, 2, 3, 1),
+            brm_s=mk(k_s, t),
+            base_s=mk(k_s, v, v), alpha_s=jnp.asarray(0.5),
+            wf_t=mk(k_t, c, c), bf_t=mk(k_t, c),
+            wm1_t=mk(k_t, c, 2), bm1_t=mk(k_t, 2),
+            wm2_t=mk(k_t, c, 2), bm2_t=mk(k_t, 2),
+            wrm_t_ref=wrm_t_ref,
+            wrm_t=wrm_t_ref.reshape(k_t, v, 2, v).transpose(0, 2, 3, 1),
+            brm_t=mk(k_t, v),
+            base_t=mk(k_t, t, t), alpha_t=jnp.asarray(0.5),
+        ))
+    return out
+
+
+def stacked_forward(params_list, x_ntvc):
+    """Our TPU-first path: ops.dstd stacked-kernel contractions."""
+    from dstdgcn_tpu.ops import dstd as ops
+
+    x = x_ntvc
+    for p in params_list:
+        x = ops.dstd_spatial(x, p["base_s"], p["alpha_s"], p["wf_s"],
+                             p["bf_s"], p["wm1_s"], p["bm1_s"], p["wm2_s"],
+                             p["bm2_s"], p["wrm_s"], p["brm_s"])
+        x = ops.dstd_temporal(x, p["base_t"], p["alpha_t"], p["wf_t"],
+                              p["bf_t"], p["wm1_t"], p["bm1_t"], p["wm2_t"],
+                              p["bm2_t"], p["wrm_t"], p["brm_t"])
+    return x
+
+
+def _time(fn, *args, iters=20, warmup=3):
+    import jax
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # flagship H36M shape, batch sized to fill the chip
+    n, t, v, c, blocks = 128, 35, 22, 64, 7
+    rng = np.random.RandomState(0)
+    params = _naive_params(rng, blocks, c, t, v)
+    x_ntvc = jnp.asarray(rng.randn(n, t, v, c).astype(np.float32))
+    x_nctv = jnp.transpose(x_ntvc, (0, 3, 1, 2))
+
+    try:
+        from dstdgcn_tpu.kernels import fused  # noqa: F401
+        kernels_available = fused.available()
+    except Exception:
+        kernels_available = False
+
+    ours = jax.jit(stacked_forward)
+    naive = jax.jit(naive_reference_forward)
+
+    t_ours = _time(lambda x: ours(params, x), x_ntvc)
+    t_naive = _time(lambda x: naive(params, x), x_nctv)
+
+    edges = _edges_per_forward(n, t, v, blocks)
+    eps_ours = edges / t_ours
+    eps_naive = edges / t_naive
+
+    print(json.dumps({
+        "metric": "edges/s/chip (SpMM+SDDMM)",
+        "value": round(eps_ours, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(eps_ours / eps_naive, 4),
+        "detail": {
+            "step_ms_ours": round(t_ours * 1e3, 3),
+            "step_ms_reference_style": round(t_naive * 1e3, 3),
+            "batch": n, "frames": t, "joints": v, "channels": c,
+            "blocks": blocks, "pallas_kernels": bool(kernels_available),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

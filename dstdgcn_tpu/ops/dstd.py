@@ -47,6 +47,12 @@ __all__ = [
 ]
 
 
+def _constrain(x: jnp.ndarray) -> jnp.ndarray:
+    """Pin (N,T,V,C) activations to the mesh layout when one is active."""
+    from ..parallel.mesh import constrain_activation
+    return constrain_activation(x)
+
+
 def _project(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(N,T,V,Ci) x (K,Ci,Co) -> (K,N,T,V,Co); one MXU matmul per kernel."""
     y = jnp.einsum("ntvc,kcd->kntvd", x, w,
@@ -148,10 +154,11 @@ def dstd_spatial(x: jnp.ndarray, base_adj: jnp.ndarray, alpha: jnp.ndarray,
     x (N,T,V,Ci), base_adj (K,V,V) static part -> (N,T,V,Co).
     effective adjacency = dyn * alpha + base (dstdgcn.py:86).
     """
+    x = _constrain(x)
     xf = _project(x, wf, bf)                          # (K,N,T,V,Co)
     dyn = dyn_adjacency_spatial(x, wm1, bm1, wm2, bm2, wrm, brm, mask)
     adj = dyn * alpha + base_adj[:, None, None, :, :]
-    return aggregate_spatial(xf, adj, agg)
+    return _constrain(aggregate_spatial(xf, adj, agg))
 
 
 def dstd_temporal(x: jnp.ndarray, base_adj: jnp.ndarray, alpha: jnp.ndarray,
@@ -162,7 +169,8 @@ def dstd_temporal(x: jnp.ndarray, base_adj: jnp.ndarray, alpha: jnp.ndarray,
 
     x (N,T,V,Ci), base_adj (K,T,T) static part -> (N,T,V,Co).
     """
+    x = _constrain(x)
     xf = _project(x, wf, bf)                          # (K,N,T,V,Co)
     dyn = dyn_adjacency_temporal(x, wm1, bm1, wm2, bm2, wrm, brm, mask)
     adj = dyn * alpha + base_adj[:, None, None, :, :]
-    return aggregate_temporal(xf, adj, agg)
+    return _constrain(aggregate_temporal(xf, adj, agg))

@@ -1,0 +1,135 @@
+"""Explicit edge-partitioned DSTD-GC via ``shard_map`` + XLA collectives.
+
+The hand-written formulation of the north-star parallelism (BASELINE.json):
+the spatiotemporal graph's joint axis is partitioned across the ``graph``
+mesh axis, and the two communication points are explicit:
+
+  * spatial kernel: the correlation *keys* (a tiny ``(K, N, T, V, R=2)``
+    tensor) are all-gathered over ICI, every shard computes the pairwise
+    scores / dynamic adjacency / aggregation for its local source joints
+    against all destination joints, and the result is combined with a
+    ``psum_scatter`` over destination joints — a reduce-scatter that
+    overlaps with the next kernel's compute under XLA's scheduler;
+  * temporal kernel: scores are joint-local; only the joint-mixing of the
+    dynamic adjacency needs the same partial-contraction + ``psum_scatter``.
+
+Semantically identical to :mod:`dstdgcn_tpu.ops.dstd` (golden-tested on a
+virtual CPU mesh); the GSPMD path (parallel/mesh.py) derives the same
+program automatically — this module exists for explicit control of the
+collective schedule and as the seed of the Pallas ring variant.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax>=0.4.35 top-level export
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+__all__ = ["dstd_spatial_edge_partitioned", "dstd_temporal_edge_partitioned"]
+
+AXIS = "graph"
+
+
+def _local_project(x, w, b):
+    y = jnp.einsum("ntvc,kcd->kntvd", x, w,
+                   preferred_element_type=jnp.float32)
+    return y + b[:, None, None, None, :]
+
+
+def dstd_spatial_edge_partitioned(mesh: Mesh, x, base_adj, alpha,
+                                  wf, bf, wm1, bm1, wm2, bm2, wrm, brm):
+    """Spatial DSTD-GC with the joint axis sharded over ``graph``.
+
+    x: global (N, T, V, Ci); V must divide the graph-axis size.  Returns the
+    global (N, T, V, Co), sharded the same way.
+    """
+    nshard = mesh.shape[AXIS]
+    v = x.shape[2]
+    assert v % nshard == 0, (v, nshard)
+    v_loc = v // nshard
+
+    def kernel(x_l, base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm):
+        # x_l: (N, T, V_loc, Ci); weights replicated
+        idx = jax.lax.axis_index(AXIS)
+        q = _local_project(x_l, wm1, bm1)             # (K,N,T,V_loc,R)
+        k = _local_project(x_l, wm2, bm2)
+        # halo exchange: destination-side keys for every shard (tiny tensor)
+        k_full = jax.lax.all_gather(k, AXIS, axis=3, tiled=True)
+        # scores for local source joints vs ALL destination joints
+        s = jnp.tanh(q[..., :, None, :] - k_full[..., None, :, :])
+        s = jnp.moveaxis(s, -1, -3)                   # (K,N,T,R,V_loc,V)
+        dyn = jnp.einsum("knsrvw,krst->kntvw", s, wrm,
+                         preferred_element_type=jnp.float32)
+        dyn = dyn + brm[:, None, :, None, None]
+        base_rows = jax.lax.dynamic_slice_in_dim(base, idx * v_loc, v_loc,
+                                                 axis=1)  # (K,V_loc,V)
+        adj = dyn * alpha + base_rows[:, None, None, :, :]
+        xf = _local_project(x_l, wf, bf)              # (K,N,T,V_loc,Co)
+        # partial aggregation over local sources, for all destinations
+        part = jnp.einsum("kntvc,kntvw->ntwc", xf, adj,
+                          preferred_element_type=jnp.float32)
+        # reduce-scatter destinations back onto the graph axis
+        return jax.lax.psum_scatter(part, AXIS, scatter_dimension=2,
+                                    tiled=True)
+
+    spec_x = P(None, None, AXIS, None)
+    rep = P()
+    return shard_map(
+        kernel, mesh=mesh,
+        in_specs=(spec_x, rep, rep, rep, rep, rep, rep, rep, rep, rep, rep),
+        out_specs=spec_x,
+    )(x, base_adj, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm)
+
+
+def dstd_temporal_edge_partitioned(mesh: Mesh, x, base_adj, alpha,
+                                   wf, bf, wm1, bm1, wm2, bm2, wrm, brm):
+    """Temporal DSTD-GC with the joint axis sharded over ``graph``.
+
+    Pairwise frame scores are joint-local; the joint-mixing ``wrm``
+    contraction is the only cross-shard reduction (psum_scatter over output
+    joints).  x: global (N, T, V, Ci) -> (N, T, V, Co).
+    """
+    nshard = mesh.shape[AXIS]
+    v = x.shape[2]
+    assert v % nshard == 0, (v, nshard)
+    v_loc = v // nshard
+
+    def kernel(x_l, base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm):
+        idx = jax.lax.axis_index(AXIS)
+        q = _local_project(x_l, wm1, bm1)             # (K,N,T,V_loc,R)
+        k = _local_project(x_l, wm2, bm2)
+        qt = jnp.swapaxes(q, 2, 3)                    # (K,N,V_loc,T,R)
+        kt = jnp.swapaxes(k, 2, 3)
+        s = jnp.tanh(qt[..., :, None, :] - kt[..., None, :, :])
+        s = jnp.moveaxis(s, -1, -3)                   # (K,N,V_loc,R,T,T)
+        # joint-mixing: local source joints contribute to ALL output joints
+        wrm_rows = jax.lax.dynamic_slice_in_dim(wrm, idx * v_loc, v_loc,
+                                                axis=2)  # (K,R,V_loc,V)
+        part = jnp.einsum("knvrtu,krvw->knwtu", s, wrm_rows,
+                          preferred_element_type=jnp.float32)
+        dyn = jax.lax.psum_scatter(part, AXIS, scatter_dimension=2,
+                                   tiled=True)        # (K,N,V_loc,T,T)
+        brm_loc = jax.lax.dynamic_slice_in_dim(brm, idx * v_loc, v_loc,
+                                               axis=1)
+        dyn = dyn + brm_loc[:, None, :, None, None]
+        adj = dyn * alpha + base_adj[:, None, None, :, :]
+        xf = _local_project(x_l, wf, bf)              # (K,N,T,V_loc,Co)
+        # per-joint temporal aggregation — fully local
+        return jnp.einsum("kntvc,knvtu->nuvc", xf, adj,
+                          preferred_element_type=jnp.float32)
+
+    spec_x = P(None, None, AXIS, None)
+    rep = P()
+    return shard_map(
+        kernel, mesh=mesh,
+        in_specs=(spec_x, rep, rep, rep, rep, rep, rep, rep, rep, rep, rep),
+        out_specs=spec_x,
+    )(x, base_adj, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm)
