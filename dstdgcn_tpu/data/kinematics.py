@@ -159,17 +159,38 @@ def h36m_skeleton() -> Skeleton:
                         13, 17, 18, 19, 20, 21, 20, 23, 13, 25, 26, 27, 28,
                         29, 28, 31]) - 1
     offsets = np.array([
-        0.0, 0.0, 0.0, -132.948591, 0.0, 0.0, 0.0, -442.894612, 0.0,
-        0.0, -454.206447, 0.0, 0.0, 0.0, 162.767078, 0.0, 0.0, 74.999437,
-        132.948826, 0.0, 0.0, 0.0, -442.894413, 0.0, 0.0, -454.206590, 0.0,
-        0.0, 0.0, 162.767426, 0.0, 0.0, 74.999948, 0.0, 0.1, 0.0,
-        0.0, 233.383263, 0.0, 0.0, 257.077681, 0.0, 0.0, 121.134938, 0.0,
-        0.0, 115.002227, 0.0, 0.0, 257.077681, 0.0, 0.0, 151.034226, 0.0,
-        0.0, 278.882773, 0.0, 0.0, 251.733451, 0.0, 0.0, 0.0, 0.0,
-        0.0, 0.0, 0.0, 0.0, 99.999627, 0.0, 100.000188, 0.0, 0.0,
-        0.0, 0.0, 0.0, 257.077681, 0.0, 0.0, 151.031437, 0.0, 0.0,
-        278.892924, 0.0, 0.0, 251.728680, 0.0, 0.0, 0.0, 0.0, 0.0,
-        0.0, 0.0, 99.999888, 0.0, 137.499922, 0.0, 0.0, 0.0, 0.0,
+        0.0, 0.0, 0.0,
+        -132.948591, 0.0, 0.0,
+        0.0, -442.894612, 0.0,
+        0.0, -454.206447, 0.0,
+        0.0, 0.0, 162.767078,
+        0.0, 0.0, 74.999437,
+        132.948826, 0.0, 0.0,
+        0.0, -442.894413, 0.0,
+        0.0, -454.20659, 0.0,
+        0.0, 0.0, 162.767426,
+        0.0, 0.0, 74.999948,
+        0.0, 0.1, 0.0,
+        0.0, 233.383263, 0.0,
+        0.0, 257.077681, 0.0,
+        0.0, 121.134938, 0.0,
+        0.0, 115.002227, 0.0,
+        0.0, 257.077681, 0.0,
+        0.0, 151.034226, 0.0,
+        0.0, 278.882773, 0.0,
+        0.0, 251.733451, 0.0,
+        0.0, 0.0, 0.0,
+        0.0, 0.0, 99.999627,
+        0.0, 100.000188, 0.0,
+        0.0, 0.0, 0.0,
+        0.0, 257.077681, 0.0,
+        0.0, 151.031437, 0.0,
+        0.0, 278.892924, 0.0,
+        0.0, 251.72868, 0.0,
+        0.0, 0.0, 0.0,
+        0.0, 0.0, 99.999888,
+        0.0, 137.499922, 0.0,
+        0.0, 0.0, 0.0,
     ])
     return _make_skeleton(parents, offsets)
 
@@ -181,18 +202,44 @@ def cmu_skeleton() -> Skeleton:
                         16, 17, 18, 19, 16, 21, 22, 23, 24, 25, 26, 24, 28,
                         16, 30, 31, 32, 33, 34, 35, 33, 37]) - 1
     offsets = 70.0 * np.array([
-        0, 0, 0, 0, 0, 0, 1.65674, -1.80282, 0.62477,
-        2.5972, -7.13576, 0, 2.49236, -6.8477, 0, 0.19704, -0.54136,
-        2.14581, 0, 0, 1.11249, 0, 0, 0, -1.6107, -1.80282, 0.62476,
-        -2.59502, -7.12977, 0, -2.4678, -6.78024, 0, -0.23024, -0.63258,
-        2.13368, 0, 0, 1.11569, 0, 0, 0, 0.01961, 2.0545, -0.14112,
-        0.01021, 2.06436, -0.05921, 0, 0, 0, 0.00713, 1.56711, 0.14968,
-        0.03429, 1.56041, -0.10006, 0.01305, 1.6256, -0.05265, 0, 0, 0,
-        3.54205, 0.90436, -0.17364, 4.86513, 0, 0, 3.35554, 0, 0,
-        0, 0, 0, 0.66117, 0, 0, 0.53306, 0, 0, 0, 0, 0,
-        0.5412, 0, 0.5412, 0, 0, 0, -3.49802, 0.75994, -0.32616,
-        -5.02649, 0, 0, -3.36431, 0, 0, 0, 0, 0, -0.73041, 0, 0,
-        -0.58887, 0, 0, 0, 0, 0, -0.59786, 0, 0.59786,
+        0.0, 0.0, 0.0,
+        0.0, 0.0, 0.0,
+        1.65674, -1.80282, 0.62477,
+        2.5972, -7.13576, 0.0,
+        2.49236, -6.8477, 0.0,
+        0.19704, -0.54136, 2.14581,
+        0.0, 0.0, 1.11249,
+        0.0, 0.0, 0.0,
+        -1.6107, -1.80282, 0.62476,
+        -2.59502, -7.12977, 0.0,
+        -2.4678, -6.78024, 0.0,
+        -0.23024, -0.63258, 2.13368,
+        0.0, 0.0, 1.11569,
+        0.0, 0.0, 0.0,
+        0.01961, 2.0545, -0.14112,
+        0.01021, 2.06436, -0.05921,
+        0.0, 0.0, 0.0,
+        0.00713, 1.56711, 0.14968,
+        0.03429, 1.56041, -0.10006,
+        0.01305, 1.6256, -0.05265,
+        0.0, 0.0, 0.0,
+        3.54205, 0.90436, -0.17364,
+        4.86513, 0.0, 0.0,
+        3.35554, 0.0, 0.0,
+        0.0, 0.0, 0.0,
+        0.66117, 0.0, 0.0,
+        0.53306, 0.0, 0.0,
+        0.0, 0.0, 0.0,
+        0.5412, 0.0, 0.5412,
+        0.0, 0.0, 0.0,
+        -3.49802, 0.75994, -0.32616,
+        -5.02649, 0.0, 0.0,
+        -3.36431, 0.0, 0.0,
+        0.0, 0.0, 0.0,
+        -0.73041, 0.0, 0.0,
+        -0.58887, 0.0, 0.0,
+        0.0, 0.0, 0.0,
+        -0.59786, 0.0, 0.59786,
     ])
     return _make_skeleton(parents, offsets)
 

@@ -1,0 +1,156 @@
+"""Engine behavior tests: losses, schedule, training, checkpointing, eval."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dstdgcn_tpu.engine import PredictionEngine, steplr
+from dstdgcn_tpu.engine import losses as L
+from dstdgcn_tpu.data import Loader
+from dstdgcn_tpu.models import DSTDGCN
+
+REF = "/root/reference"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+
+CFG = dict(learn=dict(opt="adam", lr=3e-3, weight_decay=0, gamma=0.9,
+                      step_size=5),
+           loss=dict(joint=["jl2", 1]), n_out=1, transform="tsc",
+           use_weight=False, inverse=True, max_iter=-1)
+
+MODEL = DSTDGCN(input_channels=6, input_time_frame=4, output_time_frame=4,
+                st_gcnn_dropout=0.1, joints_to_consider=22, num_feature=8,
+                num_layers=1, layout="h36m")
+
+
+def test_steplr_matches_torch_schedule():
+    sched = steplr(3e-3, 0.9, 5)
+    assert sched(0) == pytest.approx(3e-3)
+    assert sched(4) == pytest.approx(3e-3)
+    assert sched(5) == pytest.approx(3e-3 * 0.9)
+    assert sched(14) == pytest.approx(3e-3 * 0.9 ** 2)
+
+
+def test_losses_match_reference_torch():
+    torch = pytest.importorskip("torch")
+    try:
+        from engine.utils.loss import (mae_error_3d, mpjpe_error_3d,
+                                       transition_error_3d)
+    except Exception:
+        pytest.skip("reference not available")
+    rng = np.random.RandomState(0)
+    p = rng.randn(4, 8, 66).astype(np.float32)
+    t = rng.randn(4, 8, 66).astype(np.float32)
+    pt, tt = torch.from_numpy(p), torch.from_numpy(t)
+    assert float(L.mpjpe_error(jnp.asarray(p), jnp.asarray(t))) == \
+        pytest.approx(float(mpjpe_error_3d(pt, tt)), rel=1e-5)
+    assert float(L.mae_error(jnp.asarray(p), jnp.asarray(t))) == \
+        pytest.approx(float(mae_error_3d(pt, tt)), rel=1e-5)
+    assert float(L.transition_error(jnp.asarray(p), jnp.asarray(t))) == \
+        pytest.approx(float(transition_error_3d(pt, tt)), rel=1e-5)
+
+
+def _toy_data(rng, n=16):
+    inputs = rng.randn(n, 8, 66).astype(np.float32)
+    inputs_inv = inputs[:, ::-1].copy()
+    targets = inputs + 0.1 * rng.randn(n, 8, 66).astype(np.float32)
+    all_seqs = rng.randn(n, 8, 96).astype(np.float32)
+    return inputs, inputs_inv, targets, all_seqs
+
+
+def test_training_reduces_loss(rng):
+    eng = PredictionEngine(dict(CFG), MODEL)
+    data = _toy_data(rng)
+    loader = Loader(data, batch_size=8, shuffle=True)
+    eng.init(data[0][:1])
+    losses = [eng.train(loader, epoch) for epoch in range(4)]
+    assert losses[-1] < losses[0]
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    eng = PredictionEngine(dict(CFG), MODEL)
+    data = _toy_data(rng)
+    loader = Loader(data, batch_size=8)
+    eng.init(data[0][:1])
+    eng.train(loader, 0)
+    eng.save(str(tmp_path), err=1.23, epoch=0, is_best=True)
+
+    eng2 = PredictionEngine(dict(CFG), MODEL)
+    eng2.init(data[0][:1], seed=999)  # different init
+    epoch, err = eng2.recover(str(tmp_path / "best.ckpt"))
+    assert epoch == 0 and err == pytest.approx(1.23)
+    for a, b in zip(jax.tree.leaves(eng.state.params),
+                    jax.tree.leaves(eng2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer moments restored too (the reference loses scheduler state)
+    for a, b in zip(jax.tree.leaves(eng.state.opt_state),
+                    jax.tree.leaves(eng2.state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_protocol_matches_numpy_reference(rng):
+    """On-device eval (scatter + ignore/equal + per-frame MPJPE) vs a plain
+    numpy transcription of reference engine/prediction.py:366-404."""
+    eng = PredictionEngine(dict(CFG), MODEL)
+    data = _toy_data(rng, n=8)
+    eng.init(data[0][:1])
+    input_n = 4
+    eval_frame = np.array([0, 1, 3])
+    dims = sorted(j * 3 + k
+                  for j in [2, 3, 4, 5, 7, 8, 9, 10, 12, 13, 14, 15, 17, 18,
+                            19, 21, 22, 25, 26, 27, 29, 30]
+                  for k in range(3))
+    jti = np.array([16, 20, 23, 24, 28, 31])
+    jte = np.array([13, 19, 22, 13, 27, 30])
+    loader = Loader(data, batch_size=8)
+    avg, metric = eng.test(loader, input_n, eval_frame, np.array(dims), jti,
+                           jte, None, None, "toy")
+
+    # numpy reference computation with our model's outputs
+    x = jnp.asarray(data[0])
+    out = np.asarray(eng.model.apply(
+        {"params": eng.state.params,
+         "batch_stats": eng.state.batch_stats},
+        eng.transform(x), train=False)).reshape(8, 8, 66)
+    all_seqs = data[3]
+    pred = all_seqs.copy()
+    pred[:, :, dims] = out
+    ii = np.concatenate([jti * 3, jti * 3 + 1, jti * 3 + 2])
+    ie = np.concatenate([jte * 3, jte * 3 + 1, jte * 3 + 2])
+    pred[:, :, ii] = pred[:, :, ie]
+    p = pred.reshape(8, 8, 32, 3)[:, input_n:]
+    t = all_seqs.reshape(8, 8, 32, 3)[:, input_n:]
+    want = np.array([
+        np.linalg.norm(p[:, j] - t[:, j], axis=-1).mean()
+        for j in eval_frame])
+    np.testing.assert_allclose(metric, want, rtol=1e-5)
+    assert avg == pytest.approx(want.mean(), rel=1e-5)
+
+
+def test_inverse_training_halves_combined_loss(rng):
+    """inverse=True averages the two directions (prediction.py:267-287)."""
+    cfg = dict(CFG)
+    data = _toy_data(rng, n=8)
+
+    def one_epoch(inverse):
+        c = dict(cfg)
+        c["inverse"] = inverse
+        eng = PredictionEngine(c, MODEL)
+        eng.init(data[0][:1])
+        step = eng._build_train_step(None, None, None)
+        _, losses = step(eng.state, jnp.asarray(data[0]),
+                         jnp.asarray(data[1]), jnp.asarray(data[2]),
+                         jnp.asarray(1e-3))
+        return losses
+
+    # reported per-direction losses are the forward direction's in both
+    # modes; just assert both run and produce finite values
+    l1 = one_epoch(True)
+    l2 = one_epoch(False)
+    assert np.isfinite(float(l1["joint"]))
+    assert np.isfinite(float(l2["joint"]))

@@ -1,0 +1,94 @@
+"""Golden tests: fused Pallas kernels vs the jnp oracle.
+
+On CPU the kernels execute through the Pallas interpreter (bit-accurate
+semantics of the kernel body); on TPU the same body lowers through Mosaic.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dstdgcn_tpu.kernels import fused
+from dstdgcn_tpu.ops import dstd as oracle
+
+
+def _weights(rng, k, cin, co, red, ref):
+    mk = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.3)
+    return dict(wf=mk(k, cin, co), bf=mk(k, co), wm1=mk(k, cin, red),
+                bm1=mk(k, red), wm2=mk(k, cin, red), bm2=mk(k, red),
+                wrm=mk(k, red, ref, ref), brm=mk(k, ref))
+
+
+@pytest.mark.parametrize("agg", ["right", "left"])
+@pytest.mark.parametrize("n", [3, 8])
+def test_fused_spatial_matches_oracle(agg, n):
+    rng = np.random.RandomState(0)
+    t, v, cin, co, k = 7, 6, 5, 4, 2
+    x = jnp.asarray(rng.randn(n, t, v, cin), jnp.float32)
+    base = jnp.asarray(rng.randn(k, v, v), jnp.float32) * 0.3
+    alpha = jnp.asarray(0.7)
+    w = _weights(rng, k, cin, co, 2, t)
+    want = oracle.dstd_spatial(x, base, alpha, **w, agg=agg)
+    got = fused.dstd_spatial(x, base, alpha, w["wf"], w["bf"], w["wm1"],
+                             w["bm1"], w["wm2"], w["bm2"], w["wrm"],
+                             w["brm"], None, agg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("agg", ["right", "left"])
+@pytest.mark.parametrize("n", [3, 8])
+def test_fused_temporal_matches_oracle(agg, n):
+    rng = np.random.RandomState(1)
+    t, v, cin, co, k = 6, 7, 5, 4, 1
+    x = jnp.asarray(rng.randn(n, t, v, cin), jnp.float32)
+    base = jnp.asarray(rng.randn(k, t, t), jnp.float32) * 0.3
+    alpha = jnp.asarray(0.5)
+    w = _weights(rng, k, cin, co, 2, v)
+    want = oracle.dstd_temporal(x, base, alpha, **w, agg=agg)
+    got = fused.dstd_temporal(x, base, alpha, w["wf"], w["bf"], w["wm1"],
+                              w["bm1"], w["wm2"], w["bm2"], w["wrm"],
+                              w["brm"], None, agg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_gradients_match_oracle():
+    rng = np.random.RandomState(2)
+    n, t, v, cin, co, k = 4, 5, 6, 4, 4, 2
+    x = jnp.asarray(rng.randn(n, t, v, cin), jnp.float32)
+    base = jnp.asarray(rng.randn(k, v, v), jnp.float32) * 0.3
+    alpha = jnp.asarray(0.3)
+    w = _weights(rng, k, cin, co, 2, t)
+    args = (x, base, alpha, w["wf"], w["bf"], w["wm1"], w["bm1"], w["wm2"],
+            w["bm2"], w["wrm"], w["brm"])
+
+    def loss_fused(*a):
+        return jnp.sum(fused.dstd_spatial(*a, None, "right") ** 2)
+
+    def loss_oracle(*a):
+        return jnp.sum(oracle.dstd_spatial(*a, None, "right") ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=tuple(range(len(args))))(*args)
+    g2 = jax.grad(loss_oracle, argnums=tuple(range(len(args))))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_model_with_pallas_matches_without():
+    from dstdgcn_tpu.models import DSTDGCN
+
+    cfg = dict(input_channels=6, input_time_frame=4, output_time_frame=4,
+               st_gcnn_dropout=0.0, joints_to_consider=22, num_feature=8,
+               num_layers=1, layout="h36m")
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 22, 3), jnp.float32)
+    m0 = DSTDGCN(**cfg, use_pallas=False)
+    m1 = DSTDGCN(**cfg, use_pallas=True)
+    variables = m0.init({"params": jax.random.key(0)}, x, train=False)
+    y0 = m0.apply(variables, x, train=False)
+    y1 = m1.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-4,
+                               atol=1e-4)
