@@ -31,6 +31,7 @@ from flax import struct
 from flax.core import FrozenDict
 
 from ..data import transforms as tfm
+from ..utils import profiling
 from . import losses as L
 
 Array = jax.Array
@@ -252,22 +253,42 @@ class PredictionEngine:
         lr = jnp.asarray(self.lr, jnp.float32)
         it = iter(train_loader)
         desc = ""
+        timer = profiling.StepTimer(skip_first=1)
+        profile_dir = self.config.get("profile", None)
+        profile_steps = int(self.config.get("profile_steps", 5))
+        tracing = False
         for i in range(num_iter):
             try:
                 inputs, inputs_inv, targets, _ = next(it)
             except StopIteration:
                 break
             n = inputs.shape[0]
+            # capture an XLA trace of a few post-compilation steps of the
+            # first epoch when engine.profile is set
+            if profile_dir and epoch == 0:
+                if i == 1:
+                    jax.profiler.start_trace(profile_dir)
+                    tracing = True
+                elif tracing and i == 1 + profile_steps:
+                    jax.profiler.stop_trace()
+                    tracing = False
+            timer.tic()
             self.state, losses = self._train_step(
                 self.state, jnp.asarray(inputs, jnp.float32),
                 jnp.asarray(inputs_inv, jnp.float32),
                 jnp.asarray(targets, jnp.float32), lr)
+            jax.block_until_ready(losses)
+            timer.toc()
             for name, val in losses.items():
                 t_l[name].update(float(val) * n, n)
             desc = f"epoch: {epoch + 1}|[{i + 1}/{num_iter}]|train|" + "".join(
                 "{}:{:.2f}|".format(name, t_l[name].avg) for name in t_l)
+        if tracing:
+            jax.profiler.stop_trace()
         if self.logger is not None:
             self.logger.info(desc)
+            self.logger.info(f"epoch {epoch + 1} step timing: "
+                             f"{timer.summary()}")
         return sum(acc.avg for acc in t_l.values())
 
     def test(self, test_loader, input_n: int = 10, eval_frame=None,

@@ -33,6 +33,8 @@ __all__ = [
     "stacked_adjacency",
     "edge_list",
     "bone_incidence",
+    "jbc_adjacency",
+    "flattened_adjacency",
 ]
 
 
@@ -52,6 +54,11 @@ class SkeletonLayout:
     mirror_left: Tuple[int, ...] = ()
     #: total joints in the full (un-reduced) skeleton
     full_joints: int = 0
+    #: trailing entries of ``bone_pairs`` that are author-added shortcut
+    #: links (torso-to-hip), not physical bones — excluded from the
+    #: bone-node (JBC) graphs, which the reference builds from the
+    #: kinematic bones only (graph.py:359-379 vs :30-55)
+    num_aux_bones: int = 0
 
     @property
     def num_joints(self) -> int:
@@ -75,6 +82,12 @@ class SkeletonLayout:
     def parts(self) -> np.ndarray:
         """(E, 2) compact-index part edges."""
         return self.remap(self.part_pairs)
+
+    @property
+    def kinematic_bones(self) -> np.ndarray:
+        """(E', 2) compact-index physical bones (aux shortcut links dropped)."""
+        n = len(self.bone_pairs) - self.num_aux_bones
+        return self.remap(self.bone_pairs[:n])
 
 
 # ---------------------------------------------------------------------------
@@ -107,6 +120,7 @@ _H36M = SkeletonLayout(
     mirror_right=(1, 2, 3, 4, 5, 16, 17, 18, 19, 20, 21, 22, 23),
     mirror_left=(6, 7, 8, 9, 10, 24, 25, 26, 27, 28, 29, 30, 31),
     full_joints=32,
+    num_aux_bones=2,
 )
 
 _CMU = SkeletonLayout(
@@ -142,6 +156,7 @@ _CMU = SkeletonLayout(
     mirror_right=(2, 3, 4, 5, 6, 21, 22, 23, 24, 27, 25, 26, 28),
     mirror_left=(8, 9, 10, 11, 12, 30, 31, 32, 33, 36, 24, 35, 37),
     full_joints=38,
+    num_aux_bones=2,
 )
 
 _3DPW = SkeletonLayout(
@@ -241,3 +256,72 @@ def bone_incidence(layout: str | SkeletonLayout) -> np.ndarray:
         inc[a, e] = 1.0
         inc[b, e] = -1.0
     return inc
+
+
+def jbc_adjacency(layout: str | SkeletonLayout, kind: str) -> np.ndarray:
+    """Joint/Bone/Cross adjacency over the kinematic-bone graph.
+
+    Capability parity with reference ``GraphJBC`` (graph.py:351-443),
+    generalized from its hard-coded h36m table to every layout (the
+    reference leaves cmu/3dpw unimplemented).  Kinds:
+
+    * ``joint``  (V, V)  identity + symmetric bone edges
+    * ``bone``   (E, E)  bones as nodes; edges between bones sharing a joint
+      (upper-triangular fill like the reference, i.e. NOT symmetrized)
+    * ``cross``  (E, V)  bone -> its two endpoint joints
+    """
+    lay = get_layout(layout) if isinstance(layout, str) else layout
+    bones = lay.kinematic_bones
+    v, e = lay.num_joints, len(bones)
+    if kind == "joint":
+        return _symmetrize(np.eye(v, dtype=np.float32), bones)
+    if kind == "bone":
+        adj = np.eye(e, dtype=np.float32)
+        for i in range(e):
+            for j in range(i, e):
+                if set(bones[i]) & set(bones[j]):
+                    adj[i, j] = 1.0
+        return adj
+    if kind == "cross":
+        adj = np.zeros((e, v), np.float32)
+        adj[np.arange(e), bones[:, 0]] = 1.0
+        adj[np.arange(e), bones[:, 1]] = 1.0
+        return adj
+    raise ValueError(f"invalid jbc adjacency kind {kind!r}")
+
+
+def flattened_adjacency(layout: str | SkeletonLayout, kind: str,
+                        dims: int = 3) -> np.ndarray:
+    """Coordinate-level (dims*V, dims*V) adjacency, node = (joint, coord).
+
+    Capability parity with reference ``GraphFlatten`` (graph.py:446-543),
+    generalized to every layout.  Kinds:
+
+    * ``joint``       same-coordinate edges along kinematic bones
+    * ``coordinate``  clique among the ``dims`` coordinates of each joint
+    * ``connection``  same-coordinate complete graph across all joints,
+      minus the identity
+    """
+    lay = get_layout(layout) if isinstance(layout, str) else layout
+    v = lay.num_joints
+    n = dims * v
+    adj = np.zeros((n, n), np.float32)
+    if kind == "joint":
+        bones = lay.kinematic_bones
+        for d in range(dims):
+            adj[bones[:, 0] * dims + d, bones[:, 1] * dims + d] = 1.0
+            adj[bones[:, 1] * dims + d, bones[:, 0] * dims + d] = 1.0
+        return adj
+    if kind == "coordinate":
+        base = np.arange(v) * dims
+        for a in range(dims):
+            for b in range(dims):
+                if a != b:
+                    adj[base + a, base + b] = 1.0
+        return adj
+    if kind == "connection":
+        base = np.arange(v) * dims
+        for d in range(dims):
+            adj[np.ix_(base + d, base + d)] = 1.0
+        return adj - np.eye(n, dtype=np.float32)
+    raise ValueError(f"invalid flattened adjacency kind {kind!r}")

@@ -154,3 +154,39 @@ def test_inverse_training_halves_combined_loss(rng):
     l2 = one_epoch(False)
     assert np.isfinite(float(l1["joint"]))
     assert np.isfinite(float(l2["joint"]))
+
+
+def test_make_optimizer_param_groups():
+    """Bias group gets scaled lr; base group gets weight decay."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dstdgcn_tpu.engine import make_optimizer
+
+    params = {"dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))}}
+    tx = make_optimizer(dict(optimizer_name="sgd", base_lr=1.0,
+                             bias_lr_factor=0.1, weight_decay=0.0,
+                             momentum=0.0), params)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    np.testing.assert_allclose(updates["dense"]["kernel"], -1.0)
+    np.testing.assert_allclose(updates["dense"]["bias"], -0.1, rtol=1e-6)
+
+
+def test_step_timer_and_trace(tmp_path):
+    import time as _time
+    from dstdgcn_tpu.utils.profiling import StepTimer, trace
+
+    t = StepTimer(skip_first=1)
+    for _ in range(3):
+        t.tic()
+        _time.sleep(0.001)
+        t.toc()
+    assert t.steps == 2 and t.avg_ms >= 1.0 and t.steps_per_s > 0
+    assert "steps/s" in t.summary()
+    with trace(None):
+        pass
+    with trace(str(tmp_path / "prof")):
+        import jax.numpy as jnp
+        jnp.ones(8).sum().block_until_ready()

@@ -69,3 +69,47 @@ def test_edge_list_roundtrip():
     recon = np.zeros_like(adj)
     recon[edges[:, 0], edges[:, 1]] = 1
     assert np.array_equal(recon, adj)
+
+
+@needs_ref
+def test_jbc_adjacency_matches_reference_h36m():
+    from model.layers.graph import GraphJBC
+    ref = GraphJBC("h36m")
+    assert np.array_equal(sk.jbc_adjacency("h36m", "joint"),
+                          ref.get_joint_adjacency().astype(np.float32))
+    assert np.array_equal(sk.jbc_adjacency("h36m", "bone"),
+                          ref.get_bone_adjacency().astype(np.float32))
+    assert np.array_equal(sk.jbc_adjacency("h36m", "cross"),
+                          ref.get_cross_adjacency().astype(np.float32))
+
+
+@needs_ref
+def test_flattened_adjacency_matches_reference_h36m():
+    from model.layers.graph import GraphFlatten
+    ref = GraphFlatten("h36m")
+    assert np.array_equal(sk.flattened_adjacency("h36m", "joint"),
+                          ref.load_joint_graph().astype(np.float32))
+    assert np.array_equal(sk.flattened_adjacency("h36m", "coordinate"),
+                          ref.load_coordinate_graph().astype(np.float32))
+    assert np.array_equal(sk.flattened_adjacency("h36m", "connection"),
+                          ref.load_connection_graph().astype(np.float32))
+
+
+@pytest.mark.parametrize("layout", ["h36m", "cmu", "3dpw"])
+def test_jbc_and_flattened_structural(layout):
+    """The reference only implements h36m; ours generalizes to all layouts."""
+    lay = sk.get_layout(layout)
+    e = len(lay.kinematic_bones)
+    joint = sk.jbc_adjacency(layout, "joint")
+    assert np.array_equal(joint, joint.T)
+    bone = sk.jbc_adjacency(layout, "bone")
+    assert bone.shape == (e, e) and np.array_equal(np.diag(bone), np.ones(e))
+    cross = sk.jbc_adjacency(layout, "cross")
+    assert np.array_equal(cross.sum(axis=1), 2 * np.ones(e))
+    flat_j = sk.flattened_adjacency(layout, "joint")
+    assert np.array_equal(flat_j, flat_j.T)
+    coord = sk.flattened_adjacency(layout, "coordinate")
+    v = lay.num_joints
+    assert coord.sum() == v * 3 * 2  # each joint: a 3-clique (6 directed)
+    conn = sk.flattened_adjacency(layout, "connection")
+    assert np.array_equal(np.diag(conn), np.zeros(3 * v))
