@@ -16,9 +16,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache: the tunneled-TPU compile service is
+# slow and occasionally degraded; caching makes repeated bench/driver runs
+# start in seconds instead of minutes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/dstdgcn_tpu/xla"))
 
 
 def _edges_per_forward(n, t, v, num_blocks, k_s=2, k_t=1):
@@ -199,6 +206,15 @@ def bench_sparse_kernels():
 def main():
     import jax
     import jax.numpy as jnp
+
+    # the host may import jax before this file runs (sitecustomize), so set
+    # the cache via config, not just the env var
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     # flagship H36M shape, batch sized to fill the chip
     n, t, v, c, blocks = 128, 35, 22, 64, 7

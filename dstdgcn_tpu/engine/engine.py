@@ -105,6 +105,28 @@ class PredictionEngine:
         self._train_key = None
         self._eval_step_cache: Dict[Any, Callable] = {}
 
+    # -- mesh plumbing ------------------------------------------------------
+
+    def _mesh_ctx(self):
+        """Activation-sharding context: pins (N,T,V,C) activations to the
+        (data, graph) mesh layout during tracing (see parallel/mesh.py)."""
+        import contextlib
+        if self.mesh is None:
+            return contextlib.nullcontext()
+        from ..parallel.mesh import activation_sharding_context
+        return activation_sharding_context(self.mesh)
+
+    def _put_batch(self, *arrays):
+        """Place per-batch host arrays; shard batch axis when a mesh is set
+        and the batch divides the data axis (last ragged batch replicates)."""
+        out = tuple(jnp.asarray(a, jnp.float32) for a in arrays)
+        if self.mesh is None or self.data_sharding is None:
+            return out
+        n = out[0].shape[0]
+        if n % self.mesh.shape.get("data", 1) != 0:
+            return out
+        return tuple(jax.device_put(a, self.data_sharding) for a in out)
+
     # -- state ------------------------------------------------------------
 
     def init(self, sample_input: np.ndarray, seed: int = 777) -> TrainState:
@@ -118,6 +140,13 @@ class PredictionEngine:
         self.state = TrainState(params=params, batch_stats=batch_stats,
                                 opt_state=opt_state,
                                 dropout_key=jax.random.key(seed + 1))
+        if self.mesh is not None:
+            # replicate model/optimizer state across the mesh so the jitted
+            # step sees consistent shardings (GSPMD shards activations only)
+            from ..parallel.mesh import replicated
+            rep = replicated(self.mesh)
+            self.state = jax.tree.map(
+                lambda a: jax.device_put(a, rep), self.state)
         if self.logger is not None:
             n = sum(p.size for p in jax.tree.leaves(params))
             self.logger.info(
@@ -273,10 +302,9 @@ class PredictionEngine:
                     jax.profiler.stop_trace()
                     tracing = False
             timer.tic()
-            self.state, losses = self._train_step(
-                self.state, jnp.asarray(inputs, jnp.float32),
-                jnp.asarray(inputs_inv, jnp.float32),
-                jnp.asarray(targets, jnp.float32), lr)
+            batch = self._put_batch(inputs, inputs_inv, targets)
+            with self._mesh_ctx():
+                self.state, losses = self._train_step(self.state, *batch, lr)
             jax.block_until_ready(losses)
             timer.toc()
             for name, val in losses.items():
@@ -333,9 +361,10 @@ class PredictionEngine:
         save_results = {"result": [], "target": []} if save_path else None
         for inputs, _, _, all_seqs in test_loader:
             n = inputs.shape[0]
-            metric, pred_p = step(self.state.params, self.state.batch_stats,
-                                  jnp.asarray(inputs, jnp.float32),
-                                  jnp.asarray(all_seqs, jnp.float32))
+            batch = self._put_batch(inputs, all_seqs)
+            with self._mesh_ctx():
+                metric, pred_p = step(self.state.params,
+                                      self.state.batch_stats, *batch)
             metric = np.asarray(metric)
             t_metric += metric
             for m in metric:

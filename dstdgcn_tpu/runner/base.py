@@ -48,12 +48,40 @@ class BaseRunner:
                     inc = bone_incidence(layout)
                 except NotImplementedError:
                     inc = None
+            mesh, data_sharding = self._build_mesh()
             self.engine = PredictionEngine(config["engine"], model,
-                                           self.logger, bone_incidence=inc)
+                                           self.logger, bone_incidence=inc,
+                                           mesh=mesh,
+                                           data_sharding=data_sharding)
         self.save_files()
         setup_seed(777)
 
     # -- infrastructure ---------------------------------------------------
+
+    def _build_mesh(self):
+        """Build the (data, graph) device mesh from the optional ``parallel``
+        config block: ``parallel: {data: auto|int, graph: int}``.  Absent
+        block (or a single device) -> single-device semantics (mesh=None)."""
+        par = self.config.get("parallel")
+        if not par:
+            return None, None
+        import jax
+
+        from ..parallel import batch_sharding, make_mesh
+        graph = int(par.get("graph", 1))
+        data = par.get("data", "auto")
+        data = None if data in ("auto", None, "None") else int(data)
+        n_dev = len(jax.devices())
+        if data is None and n_dev % graph != 0:
+            graph = 1
+        if (data or (n_dev // graph)) * graph > n_dev:
+            self.logger.warning(
+                f"parallel config requests {data}x{graph} devices, have "
+                f"{n_dev}; falling back to single-device")
+            return None, None
+        mesh = make_mesh(data=data, graph=graph)
+        self.logger.info(f"device mesh: {dict(mesh.shape)}")
+        return mesh, batch_sharding(mesh)
 
     def save_files(self) -> None:
         for path in list(self.config["save"]["path"].keys()):

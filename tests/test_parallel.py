@@ -117,3 +117,44 @@ def test_sharded_train_step_matches_single_device():
         if a.dtype.kind == "f" and a.size > 1:
             scale = np.abs(a).max()
             assert np.max(np.abs(a - b)) < max(2e-3 * scale, 1e-8)
+
+
+def test_engine_mesh_plumbing_end_to_end():
+    """Engine with mesh/data_sharding shards batches and trains (the path
+    the `parallel:` config block drives through the runner)."""
+    import jax
+    import numpy as np
+    from dstdgcn_tpu.engine import PredictionEngine
+    from dstdgcn_tpu.models import DSTDGCN
+    from dstdgcn_tpu.parallel import batch_sharding, make_mesh
+
+    model = DSTDGCN(input_channels=6, input_time_frame=4,
+                    output_time_frame=4, st_gcnn_dropout=0.0,
+                    joints_to_consider=22, num_feature=8, num_layers=1,
+                    layout="h36m")
+    cfg = dict(learn=dict(opt="adam", lr=1e-3, weight_decay=0, gamma=0.9,
+                          step_size=5),
+               loss=dict(joint=["jl2", 1]), n_out=1, transform="tsc",
+               use_weight=False, inverse=True, max_iter=-1)
+    mesh = make_mesh(data=4, graph=2)
+    eng = PredictionEngine(cfg, model, mesh=mesh,
+                           data_sharding=batch_sharding(mesh))
+    rng = np.random.RandomState(0)
+    inputs = rng.randn(8, 8, 66).astype(np.float32)
+    targets = rng.randn(8, 8, 66).astype(np.float32)
+    eng.init(inputs[:1], seed=0)
+
+    class L:
+        def __len__(self):
+            return 2
+
+        def __iter__(self):
+            for i in range(2):
+                b = slice(4 * i, 4 * i + 4)
+                yield inputs[b], inputs[b, ::-1], targets[b], targets[b]
+
+    loss = eng.train(L(), epoch=0)
+    assert np.isfinite(loss)
+    avg, per_frame = eng.test(L(), input_n=4, eval_frame=[1, 3],
+                              dim_used=np.arange(66))
+    assert np.isfinite(avg) and per_frame.shape == (2,)
