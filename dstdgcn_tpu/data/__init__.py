@@ -1,4 +1,4 @@
-from . import datasets, kinematics, loader, transforms
+from . import datasets, kinematics, loader, pose_norm, transforms
 from .datasets import (CMUMocap, Human36M, MotionDataset, PW3D, Synthetic,
                        define_actions, get_dataset)
 from .loader import Loader

@@ -39,10 +39,28 @@ CMU_ACTIONS = [
     "basketball", "basketball_signal", "directing_traffic", "jumping",
     "running", "soccer", "walking", "washwindow",
 ]
+# ExPI acro-couple splits (reference utils.py:331-414); actions are
+# "<actor>/<sequence>" paths
+_EXPI_PRO3_TRAIN = [f"{a}/{s}" for a in ("2", "1") for s in (
+    "a-frame", "around-the-back", "coochie", "frog-classic", "noser",
+    "toss-out", "cartwheel")]
+EXPI_SPLITS = {
+    "pro3-train": _EXPI_PRO3_TRAIN,
+    "pro3-test": ["2/crunch-toast", "2/frog-kick", "2/ninja-kick",
+                  "1/back-flip", "1/big-ben", "1/chandelle",
+                  "1/check-the-change", "1/frog-turn", "1/twisted-toss"],
+    "pro1-train": _EXPI_PRO3_TRAIN[:7],
+    "pro1-test": _EXPI_PRO3_TRAIN[7:],
+}
 
 
 def define_actions(action: str, dataset: str = "h36m"):
-    """Action-list resolver, parity with utils.py:314-426."""
+    """Action-list resolver, parity with utils.py:314-426 (incl. the expi
+    split names and the amass no-op)."""
+    if dataset == "expi":
+        return list(EXPI_SPLITS.get(action, []))
+    if dataset == "amass":
+        return []
     actions = {"h36m": H36M_ACTIONS, "cmu": CMU_ACTIONS}[dataset]
     if action in actions:
         return [action]

@@ -147,3 +147,61 @@ def test_joint_weights_normalized():
     assert ds.joint_weight_all.min() == pytest.approx(0)
     assert ds.joint_weight_all.max() == pytest.approx(1)
     assert ds.joint_weight_use.shape == (22,)
+
+
+class TestPoseNorm:
+    """Golden tests vs the reference ExPI/NTU normalization helpers."""
+
+    def _ref(self):
+        import sys
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        try:
+            from dataset import utils as ref_utils
+        except Exception:
+            return None
+        return ref_utils
+
+    def test_expi_2p_matches_reference(self):
+        ref = self._ref()
+        if ref is None:
+            import pytest
+            pytest.skip("reference unavailable")
+        rng = np.random.RandomState(0)
+        seq = rng.randn(6, 108).astype(np.float64)
+        from dstdgcn_tpu.data import pose_norm
+        ours = pose_norm.normalize_expi_2p(seq)
+        theirs = ref.normExPI_2p_by_frame(seq)
+        np.testing.assert_allclose(ours, theirs, atol=1e-8)
+
+    def test_ntu_2p_matches_reference(self):
+        ref = self._ref()
+        if ref is None:
+            import pytest
+            pytest.skip("reference unavailable")
+        rng = np.random.RandomState(1)
+        seq = rng.randn(5, 150).astype(np.float64)
+        from dstdgcn_tpu.data import pose_norm
+        ours = pose_norm.normalize_ntu(seq)
+        theirs = ref.normNTURGBD_2p_by_frame(seq)
+        np.testing.assert_allclose(ours, theirs, atol=1e-8)
+
+    def test_filter_and_pelvis(self):
+        from dstdgcn_tpu.data import pose_norm
+        seq = np.ones((4, 150))
+        seq[2] = 0
+        assert pose_norm.filter_zero_frames(seq).shape[0] == 3
+        out = pose_norm.ntu_pelvis_center(np.arange(300.).reshape(2, 150))
+        assert out.shape == (2, 50, 3)
+        np.testing.assert_allclose(out[0, 0], 0.0)
+
+    def test_expi_independent_shapes(self):
+        from dstdgcn_tpu.data import pose_norm
+        rng = np.random.RandomState(2)
+        x = rng.randn(2, 3, 36, 3)
+        out = pose_norm.normalize_expi_independent(x)
+        assert out.shape == x.shape
+        x1 = rng.randn(2, 3, 18, 3)
+        assert pose_norm.normalize_expi_independent(x1).shape == x1.shape
+        y = rng.randn(2, 3, 50, 3)
+        assert pose_norm.normalize_ntu_independent(y).shape == y.shape
