@@ -69,8 +69,14 @@ def _rm(w: np.ndarray, red: int = 2) -> np.ndarray:
         w.reshape(ref_out, red, ref_in).transpose(1, 2, 0))
 
 
-def _bn_vec(v: np.ndarray, joints: int) -> np.ndarray:
-    """BatchNorm1d(C*V) vector (index c*V + v) -> (V, C)."""
+def _bn_vec(v: np.ndarray, joints: int, fast: bool = False) -> np.ndarray:
+    """BatchNorm1d(C*V) vector -> (V, C).
+
+    The qualitative model flattens c-major (index c*V + v,
+    dstdgcn.py:41-47); the fast model flattens v-major (index v*C + c,
+    dstdgcn_fast.py:47-53)."""
+    if fast:
+        return np.ascontiguousarray(v.reshape(joints, -1))
     c = v.shape[0] // joints
     return np.ascontiguousarray(v.reshape(c, joints).T)
 
@@ -93,11 +99,11 @@ def _dstdgc(sd: Dict[str, np.ndarray], prefix: str, n_kernels: int,
     }
 
 
-def _bn(sd, prefix, joints):
-    params = {"scale": _bn_vec(sd[f"{prefix}.bn.weight"], joints),
-              "bias": _bn_vec(sd[f"{prefix}.bn.bias"], joints)}
-    stats = {"mean": _bn_vec(sd[f"{prefix}.bn.running_mean"], joints),
-             "var": _bn_vec(sd[f"{prefix}.bn.running_var"], joints)}
+def _bn(sd, prefix, joints, fast=False):
+    params = {"scale": _bn_vec(sd[f"{prefix}.bn.weight"], joints, fast),
+              "bias": _bn_vec(sd[f"{prefix}.bn.bias"], joints, fast)}
+    stats = {"mean": _bn_vec(sd[f"{prefix}.bn.running_mean"], joints, fast),
+             "var": _bn_vec(sd[f"{prefix}.bn.running_var"], joints, fast)}
     return params, stats
 
 
@@ -120,7 +126,7 @@ def _block(sd: Dict[str, np.ndarray], tprefix: str, joints: int,
     params["alpha_tm"] = sd[f"{tprefix}.alpha_tm"]
     params["spatial"] = _dstdgc(sd, f"{tprefix}.conv_s", n_s)
     params["temporal"] = _dstdgc(sd, f"{tprefix}.conv_t", n_t)
-    bn_p, bn_s = _bn(sd, f"{tprefix}.bn", joints)
+    bn_p, bn_s = _bn(sd, f"{tprefix}.bn", joints, fast)
     params["bn"], stats["bn"] = bn_p, bn_s
     params["prelu"] = {"negative_slope": sd[f"{tprefix}.prelu.weight"]
                        .reshape(())}
@@ -129,7 +135,7 @@ def _block(sd: Dict[str, np.ndarray], tprefix: str, joints: int,
             "kernel": _conv1x1(sd[f"{tprefix}.residual.0.weight"]),
             "bias": sd[f"{tprefix}.residual.0.bias"],
         }
-        rp, rs = _bn(sd, f"{tprefix}.residual.1", joints)
+        rp, rs = _bn(sd, f"{tprefix}.residual.1", joints, fast)
         params["residual_bn"], stats["residual_bn"] = rp, rs
     return params, stats
 
@@ -150,20 +156,23 @@ def torch_state_to_flax(sd: Dict[str, np.ndarray], num_layers: int,
     put("conv_st_in", "conv_st_in.stgcn.0.0")
     for i in range(num_layers):
         put(f"encoder_{i}", f"encoders.{i}.0.stgcn.0.0")
-        bnp = {"scale": _bn_vec(sd[f"encoders.{i}.1.bn.weight"], joints),
-               "bias": _bn_vec(sd[f"encoders.{i}.1.bn.bias"], joints)}
-        bns = {"mean": _bn_vec(sd[f"encoders.{i}.1.bn.running_mean"], joints),
-               "var": _bn_vec(sd[f"encoders.{i}.1.bn.running_var"], joints)}
+        pfx = f"encoders.{i}.1.bn"
+        bnp = {"scale": _bn_vec(sd[f"{pfx}.weight"], joints, fast),
+               "bias": _bn_vec(sd[f"{pfx}.bias"], joints, fast)}
+        bns = {"mean": _bn_vec(sd[f"{pfx}.running_mean"], joints, fast),
+               "var": _bn_vec(sd[f"{pfx}.running_var"], joints, fast)}
         params[f"encoder_bn_{i}"] = bnp
         stats[f"encoder_bn_{i}"] = bns
         params[f"encoder_prelu_{i}"] = {
             "negative_slope": sd[f"encoders.{i}.2.weight"].reshape(())}
     put("conv_st_out", "conv_st_out.stgcn.0.0")
 
-    params["bn_in"] = {"scale": _bn_vec(sd["bn_in.bn.weight"], joints),
-                       "bias": _bn_vec(sd["bn_in.bn.bias"], joints)}
-    stats["bn_in"] = {"mean": _bn_vec(sd["bn_in.bn.running_mean"], joints),
-                      "var": _bn_vec(sd["bn_in.bn.running_var"], joints)}
+    params["bn_in"] = {
+        "scale": _bn_vec(sd["bn_in.bn.weight"], joints, fast),
+        "bias": _bn_vec(sd["bn_in.bn.bias"], joints, fast)}
+    stats["bn_in"] = {
+        "mean": _bn_vec(sd["bn_in.bn.running_mean"], joints, fast),
+        "var": _bn_vec(sd["bn_in.bn.running_var"], joints, fast)}
     params["prelu"] = {"negative_slope": sd["prelu.weight"].reshape(())}
 
     import jax.numpy as jnp

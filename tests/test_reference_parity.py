@@ -140,3 +140,51 @@ def test_gradients_match():
     ]
     for a, b in pairs:
         assert _rel_err(a, b) < 1e-3
+
+
+# -- fast variant (reference model/dstdgcn_fast.py) --------------------------
+
+try:
+    from model.dstdgcn_fast import DSTDGCN as RefFastDSTDGCN  # noqa: E402
+except Exception:  # pragma: no cover
+    RefFastDSTDGCN = None
+
+
+def _fast_models(seed=0):
+    torch.manual_seed(seed)
+    ref = RefFastDSTDGCN(**CFG)
+    with torch.no_grad():
+        for p in ref.parameters():
+            if p.requires_grad:
+                p.add_(0.05 * torch.randn_like(p))
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.add_(0.1 * torch.randn_like(m.running_mean))
+                m.running_var.mul_(
+                    (0.2 * torch.randn_like(m.running_var)).exp())
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    ours = DSTDGCN(**CFG, fast=True)
+    variables = torch_state_to_flax(sd, num_layers=CFG["num_layers"],
+                                    joints=CFG["joints_to_consider"],
+                                    fast=True)
+    return ref, ours, variables
+
+
+@pytest.mark.skipif(RefFastDSTDGCN is None, reason="reference unavailable")
+def test_fast_param_count_matches():
+    ref, ours, variables = _fast_models()
+    n_ref = sum(p.numel() for p in ref.parameters() if p.requires_grad)
+    n_ours = sum(p.size for p in jax.tree.leaves(variables["params"]))
+    assert n_ref == n_ours
+
+
+@pytest.mark.skipif(RefFastDSTDGCN is None, reason="reference unavailable")
+def test_fast_eval_forward_matches():
+    ref, ours, variables = _fast_models()
+    ref.eval()
+    rng = np.random.RandomState(1)
+    x = rng.randn(4, 15, 22, 3).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x)).numpy()
+    y = ours.apply(variables, jnp.asarray(x), train=False)
+    assert _rel_err(y, y_ref) < 1e-4
