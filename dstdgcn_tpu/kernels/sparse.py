@@ -112,8 +112,8 @@ def _spmm_kernel(rows_ref, cols_ref, adj_ref, x_ref, out_ref):
         preferred_element_type=jnp.float32)
 
 
-def block_spmm(adj, x, rows, cols, block: int = 128):
-    """Blocked SpMM over the active (row, col) block list.
+def _block_spmm_pallas(adj, x, rows, cols, block: int = 128):
+    """Blocked SpMM over the active (row, col) block list (forward only).
 
     adj (N, V, V), x (N, V, C) -> (N, V, C); V % block == 0; the block list
     must be row-major sorted with every row present (see active_blocks).
@@ -217,9 +217,9 @@ def _sddmm_spmm_kernel(rows_ref, cols_ref, q_ref, kt_ref, w_ref, x_ref,
         preferred_element_type=jnp.float32)
 
 
-def block_sddmm_spmm(q, k, w, x, rows, cols, block: int = 128):
-    """Fused SDDMM + SpMM: out[n,i,c] = sum_j S[n,i,j] x[n,j,c] with the
-    score block computed and consumed in VMEM (never written to HBM)."""
+def _block_sddmm_spmm_pallas(q, k, w, x, rows, cols, block: int = 128):
+    """Fused SDDMM + SpMM forward: out[n,i,c] = sum_j S[n,i,j] x[n,j,c] with
+    the score block computed and consumed in VMEM (never written to HBM)."""
     n, v, r = q.shape
     c = x.shape[-1]
     na = len(rows)
@@ -243,3 +243,91 @@ def block_sddmm_spmm(q, k, w, x, rows, cols, block: int = 128):
         out_shape=jax.ShapeDtypeStruct((n, v, c), jnp.float32),
         interpret=_interpret(),
     )(jnp.asarray(rows), jnp.asarray(cols), q, kt, w, x)
+
+
+# ---------------------------------------------------------------------------
+# differentiable wrappers: Pallas forward, masked-oracle backward
+# ---------------------------------------------------------------------------
+# The block lists are static (they shape the grid), so per-pattern ops are
+# built once and cached.  Backward passes use the dense oracles restricted
+# to the pattern mask — exact gradients, O(V^2) memory; a blocked backward
+# kernel is a future optimization for very large graphs.
+
+def _pattern_mask(rows: np.ndarray, cols: np.ndarray, bi: int, bj: int,
+                  block: int) -> np.ndarray:
+    m = np.zeros((bi, bj), np.float32)
+    m[rows, cols] = 1.0
+    return np.kron(m, np.ones((block, block), np.float32))
+
+
+@functools.lru_cache(maxsize=64)
+def _spmm_op(rows_b: bytes, cols_b: bytes, block: int, v: int, vj: int):
+    rows = np.frombuffer(rows_b, np.int32)
+    cols = np.frombuffer(cols_b, np.int32)
+    mask = _pattern_mask(rows, cols, v // block, vj // block, block)
+
+    @jax.custom_vjp
+    def op(adj, x):
+        return _block_spmm_pallas(adj, x, rows, cols, block)
+
+    def fwd(adj, x):
+        return op(adj, x), (adj, x)
+
+    def bwd(res, g):
+        adj, x = res
+        m = jnp.asarray(mask)
+        d_adj = jnp.einsum("nic,njc->nij", g, x,
+                           preferred_element_type=jnp.float32) * m
+        d_x = jnp.einsum("nij,nic->njc", adj * m, g,
+                         preferred_element_type=jnp.float32)
+        return d_adj, d_x
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def block_spmm(adj, x, rows, cols, block: int = 128):
+    """Differentiable blocked SpMM (see _block_spmm_pallas for semantics)."""
+    rows = np.asarray(rows, np.int32)
+    cols = np.asarray(cols, np.int32)
+    op = _spmm_op(rows.tobytes(), cols.tobytes(), int(block),
+                  int(adj.shape[1]), int(adj.shape[2]))
+    return op(adj, x)
+
+
+@functools.lru_cache(maxsize=64)
+def _sddmm_spmm_op(rows_b: bytes, cols_b: bytes, block: int, v: int):
+    rows = np.frombuffer(rows_b, np.int32)
+    cols = np.frombuffer(cols_b, np.int32)
+    nb = v // block
+    mask = _pattern_mask(rows, cols, nb, nb, block)
+
+    @jax.custom_vjp
+    def op(q, k, w, x):
+        return _block_sddmm_spmm_pallas(q, k, w, x, rows, cols, block)
+
+    def fwd(q, k, w, x):
+        return op(q, k, w, x), (q, k, w, x)
+
+    def bwd(res, g):
+        q, k, w, x = res
+        m = jnp.asarray(mask)
+
+        def f(q, k, w, x):
+            return sddmm_spmm_dense(q, k, w, x, m)
+
+        _, vjp = jax.vjp(f, q, k, w, x)
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def block_sddmm_spmm(q, k, w, x, rows, cols, block: int = 128):
+    """Differentiable fused SDDMM + SpMM (Pallas forward, masked-oracle
+    backward)."""
+    rows = np.asarray(rows, np.int32)
+    cols = np.asarray(cols, np.int32)
+    op = _sddmm_spmm_op(rows.tobytes(), cols.tobytes(), int(block),
+                        int(q.shape[1]))
+    return op(q, k, w, x)

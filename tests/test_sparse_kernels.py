@@ -66,3 +66,57 @@ def test_block_sddmm_spmm_matches_dense(data):
                                    data["x"], data["mask"])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_block_spmm_gradients_match_masked_dense():
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    n, v, c, block = 2, 256, 8, 128
+    nb = v // block
+    mask_b = np.array([[True, False], [True, True]])
+    rows, cols = sparse.active_blocks(mask_b)
+    mask = np.kron(mask_b.astype(np.float32), np.ones((block, block),
+                                                      np.float32))
+    adj = jnp.asarray(rng.randn(n, v, v), jnp.float32)
+    x = jnp.asarray(rng.randn(n, v, c), jnp.float32)
+
+    def f_sparse(adj, x):
+        return jnp.sum(sparse.block_spmm(adj, x, rows, cols, block) ** 2)
+
+    def f_dense(adj, x):
+        return jnp.sum(sparse.spmm_dense(adj * mask, x) ** 2)
+
+    gs = jax.grad(f_sparse, argnums=(0, 1))(adj, x)
+    gd = jax.grad(f_dense, argnums=(0, 1))(adj, x)
+    for a, b in zip(gs, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_block_sddmm_spmm_gradients_match_masked_dense():
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.RandomState(1)
+    n, v, r, c, block = 2, 256, 3, 8, 128
+    mask_b = np.array([[True, True], [False, True]])
+    rows, cols = sparse.active_blocks(mask_b)
+    mask = np.kron(mask_b.astype(np.float32), np.ones((block, block),
+                                                      np.float32))
+    q = jnp.asarray(rng.randn(n, v, r), jnp.float32)
+    k = jnp.asarray(rng.randn(n, v, r), jnp.float32)
+    w = jnp.asarray(rng.randn(r), jnp.float32)
+    x = jnp.asarray(rng.randn(n, v, c), jnp.float32)
+
+    def f_sparse(q, k, w, x):
+        return jnp.sum(
+            sparse.block_sddmm_spmm(q, k, w, x, rows, cols, block) ** 2)
+
+    def f_dense(q, k, w, x):
+        return jnp.sum(sparse.sddmm_spmm_dense(q, k, w, x, mask) ** 2)
+
+    gs = jax.grad(f_sparse, argnums=(0, 1, 2, 3))(q, k, w, x)
+    gd = jax.grad(f_dense, argnums=(0, 1, 2, 3))(q, k, w, x)
+    for a, b in zip(gs, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
