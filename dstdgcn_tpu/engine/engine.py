@@ -72,9 +72,18 @@ class PredictionEngine:
         self.data_sharding = data_sharding
 
         reg = L.registry(bone_incidence)
-        self.loss_funcs: Dict[str, Tuple[Callable, float]] = {}
+        # loss spec: [type, weight] or [type, weight, out_idx] for
+        # multi-output models (reference ModelWrapper n_out>1 binding,
+        # prediction.py:33-44)
+        self.n_out = int(config.get("n_out", 1))
+        self.loss_funcs: Dict[str, Tuple[Callable, float, int]] = {}
         for name, spec in config["loss"].items():
-            self.loss_funcs[name] = (reg[spec[0]], float(spec[1]))
+            out_idx = int(spec[2]) if len(spec) > 2 else 0
+            if out_idx >= self.n_out:
+                raise ValueError(
+                    f"loss {name!r} binds output {out_idx} but n_out="
+                    f"{self.n_out}")
+            self.loss_funcs[name] = (reg[spec[0]], float(spec[1]), out_idx)
 
         self.transform_fn, self.inverse_fn = tfm.get_transform(
             config.get("transform", "tsc"))
@@ -172,6 +181,14 @@ class PredictionEngine:
         model = self.model
         wvec = None if weights is None else jnp.asarray(weights, jnp.float32)
 
+        def inverse_out(out):
+            out = self.inverse(out)
+            if scale_tsfm is not None:
+                out = scale_tsfm.inverse(out)
+            if time_tsfm is not None:
+                out = time_tsfm.inverse(out)
+            return out
+
         def one_pass(params, batch_stats, rng, inputs, targets):
             x = inputs
             if time_tsfm is not None:
@@ -180,15 +197,15 @@ class PredictionEngine:
             out, mut = model.apply(
                 {"params": params, "batch_stats": batch_stats}, x,
                 train=True, rngs={"dropout": rng}, mutable=["batch_stats"])
-            out = self.inverse(out)
-            if scale_tsfm is not None:
-                out = scale_tsfm.inverse(out)
-            if time_tsfm is not None:
-                out = time_tsfm.inverse(out)
-            t_out, t_tgt = out.shape[1], targets.shape[1]
-            tgt = targets[:, -t_out:] if t_out != t_tgt else targets
-            losses = {name: w * fn(out, tgt, wvec)
-                      for name, (fn, w) in loss_funcs.items()}
+            outs = ([inverse_out(o) for o in out]
+                    if isinstance(out, (list, tuple)) else [inverse_out(out)])
+
+            def per_output_target(o):
+                t_out, t_tgt = o.shape[1], targets.shape[1]
+                return targets[:, -t_out:] if t_out != t_tgt else targets
+
+            losses = {name: w * fn(outs[i], per_output_target(outs[i]), wvec)
+                      for name, (fn, w, i) in loss_funcs.items()}
             return losses, mut["batch_stats"]
 
         def loss_fn(params, batch_stats, rng, inputs, inputs_inv, targets):
@@ -230,6 +247,8 @@ class PredictionEngine:
             x = self.transform(x)
             out = model.apply({"params": params, "batch_stats": batch_stats},
                               x, train=False)
+            if isinstance(out, (list, tuple)):   # multi-output: use the last
+                out = out[-1]                    # (ModelWrapper.forward :54)
             out = self.inverse(out)
             if scale_tsfm is not None:
                 out = scale_tsfm.inverse(out)

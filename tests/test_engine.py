@@ -190,3 +190,54 @@ def test_step_timer_and_trace(tmp_path):
     with trace(str(tmp_path / "prof")):
         import jax.numpy as jnp
         jnp.ones(8).sum().block_until_ready()
+
+
+def test_multi_output_loss_binding():
+    """n_out>1: loss specs with out_idx bind to specific model outputs
+    (reference ModelWrapper, prediction.py:33-44)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dstdgcn_tpu.engine import PredictionEngine
+
+    class TwoHead:
+        """Minimal multi-output flax-like model."""
+
+        def init(self, rngs, x, train=False):
+            return {"params": {"w": jnp.ones((1,))}}
+
+        def apply(self, variables, x, train=False, rngs=None, mutable=None):
+            w = variables["params"]["w"]
+            outs = [x * w, x * (2 * w)]
+            if mutable:
+                return outs, {"batch_stats": {}}
+            return outs
+
+    cfg = dict(learn=dict(opt="adam", lr=1e-2, weight_decay=0, gamma=0.9,
+                          step_size=5),
+               loss=dict(coarse=["cl2", 1.0, 0], fine=["jl2", 1.0, 1]),
+               n_out=2, transform="no", use_weight=False, inverse=False,
+               max_iter=-1)
+    eng = PredictionEngine(cfg, TwoHead())
+    rng = np.random.RandomState(0)
+    inputs = rng.randn(4, 6, 66).astype(np.float32)
+    targets = rng.randn(4, 6, 66).astype(np.float32)
+    eng.init(inputs[:1])
+
+    class L:
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            yield inputs, inputs, targets, targets
+
+    loss = eng.train(L(), epoch=0)
+    assert np.isfinite(loss)
+    # eval must use the LAST output
+    avg, _ = eng.test(L(), input_n=3, eval_frame=[0, 2])
+    assert np.isfinite(avg)
+
+    import pytest
+    with pytest.raises(ValueError):
+        PredictionEngine({**cfg, "loss": dict(bad=["jl2", 1.0, 5])},
+                         TwoHead())
