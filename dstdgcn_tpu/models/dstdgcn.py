@@ -43,6 +43,9 @@ class DSTDGCN(nn.Module):
     fast: bool = False
     bn_axis_name: Optional[str] = None
     use_pallas: bool = False
+    #: e.g. "bfloat16": MXU-native mixed precision for the DSTD contractions
+    #: (bf16 inputs, f32 accumulation); params and outputs stay f32
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool = False) -> Array:
@@ -58,7 +61,8 @@ class DSTDGCN(nn.Module):
 
         common = dict(time_dim=tt, joints_dim=v, layout=self.layout,
                       fast=self.fast, bn_axis_name=self.bn_axis_name,
-                      use_pallas=self.use_pallas, refine=True)
+                      use_pallas=self.use_pallas,
+                      compute_dtype=self.compute_dtype, refine=True)
 
         h = STGCNNLayer(out_channels=self.num_feature, residual=False,
                         name="conv_st_in", **common)(h, train=train)
@@ -98,7 +102,7 @@ def get_model(name: str, **opts: Any) -> DSTDGCN:
     for k in ("name", "load", "ckpt"):
         kwargs.pop(k, None)
     kwargs.update(_REGISTRY[name])
-    for k in ("bn_axis_name", "use_pallas"):
+    for k in ("bn_axis_name", "use_pallas", "compute_dtype"):
         if k in opts:
             kwargs[k] = opts[k]
     return DSTDGCN(**kwargs)

@@ -133,6 +133,7 @@ class DSTDGC(nn.Module):
     mode: str = "spatial"
     agg: str = "right"      # "right"=qualitative, "left"=fast variant
     use_pallas: bool = False
+    compute_dtype: Optional[str] = None   # e.g. "bfloat16" (f32 accum)
 
     @nn.compact
     def __call__(self, x: Array, base_adj: Array, alpha: Array,
@@ -157,8 +158,10 @@ class DSTDGC(nn.Module):
             fn = (fk.dstd_spatial if self.mode == "spatial"
                   else fk.dstd_temporal)
             return fn(*args, agg=self.agg)
+        dtype = (None if self.compute_dtype is None
+                 else jnp.dtype(self.compute_dtype))
         fn = ops.dstd_spatial if self.mode == "spatial" else ops.dstd_temporal
-        return fn(*args, agg=self.agg)
+        return fn(*args, agg=self.agg, dtype=dtype)
 
 
 class DSTDGCB(nn.Module):
@@ -191,6 +194,7 @@ class DSTDGCB(nn.Module):
     fast: bool = False
     bn_axis_name: Optional[str] = None
     use_pallas: bool = False
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
@@ -227,6 +231,7 @@ class DSTDGCB(nn.Module):
         agg = "left" if self.fast else "right"
         y = DSTDGC(out_channels=co, ref_len=self.time_dim, num_kernels=ks,
                    mode="spatial", agg=agg, use_pallas=self.use_pallas,
+                   compute_dtype=self.compute_dtype,
                    name="spatial")(x, base_s, alpha_sm)
         y = JointBatchNorm(axis_name=self.bn_axis_name, name="bn")(
             y, train=train)
@@ -235,6 +240,7 @@ class DSTDGCB(nn.Module):
 
         z = DSTDGC(out_channels=co, ref_len=self.joint_dim, num_kernels=kt,
                    mode="temporal", agg=agg, use_pallas=self.use_pallas,
+                   compute_dtype=self.compute_dtype,
                    name="temporal")(y, base_t, alpha_tm)
         return z
 
@@ -280,6 +286,7 @@ class STGCNNLayer(nn.Module):
     fast: bool = False
     bn_axis_name: Optional[str] = None
     use_pallas: bool = False
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
@@ -296,7 +303,8 @@ class STGCNNLayer(nn.Module):
             y = DSTDGCB(out_channels=co, time_dim=self.time_dim,
                         joint_dim=self.joints_dim, layout=self.layout,
                         fast=self.fast, bn_axis_name=self.bn_axis_name,
-                        use_pallas=self.use_pallas, name="block")(
+                        use_pallas=self.use_pallas,
+                        compute_dtype=self.compute_dtype, name="block")(
                             x, train=train)
         else:
             y = ConvTemporalGraphical(self.time_dim, self.joints_dim,

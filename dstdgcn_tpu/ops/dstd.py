@@ -53,9 +53,17 @@ def _constrain(x: jnp.ndarray) -> jnp.ndarray:
     return constrain_activation(x)
 
 
-def _project(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(N,T,V,Ci) x (K,Ci,Co) -> (K,N,T,V,Co); one MXU matmul per kernel."""
-    y = jnp.einsum("ntvc,kcd->kntvd", x, w,
+def _cast(x: jnp.ndarray, dtype) -> jnp.ndarray:
+    return x if dtype is None else x.astype(dtype)
+
+
+def _project(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+             dtype=None) -> jnp.ndarray:
+    """(N,T,V,Ci) x (K,Ci,Co) -> (K,N,T,V,Co); one MXU matmul per kernel.
+
+    ``dtype`` (e.g. bfloat16) casts the matmul INPUTS only — accumulation
+    stays float32 via preferred_element_type (MXU-native mixed precision)."""
+    y = jnp.einsum("ntvc,kcd->kntvd", _cast(x, dtype), _cast(w, dtype),
                    preferred_element_type=jnp.float32)
     return y + b[:, None, None, None, :]
 
@@ -77,41 +85,43 @@ def sddmm_pairwise_tanh(q: jnp.ndarray, k: jnp.ndarray,
 
 
 def dyn_adjacency_spatial(x: jnp.ndarray, wm1, bm1, wm2, bm2, wrm, brm,
-                          mask: jnp.ndarray | None = None) -> jnp.ndarray:
+                          mask: jnp.ndarray | None = None,
+                          dtype=None) -> jnp.ndarray:
     """Dynamic per-frame joint adjacency adjustment.
 
     x (N,T,V,C) -> (K,N,T,V,V).  Reference dstdgcn.py:82-86: project to R
     channels, all-pairs tanh difference over joints, then mix the (R, T)
     score channels into each output frame with ``wrm``.
     """
-    q = _project(x, wm1, bm1)                         # (K,N,T,V,R)
-    k = _project(x, wm2, bm2)
+    q = _project(x, wm1, bm1, dtype)                  # (K,N,T,V,R)
+    k = _project(x, wm2, bm2, dtype)
     # scores[k,n,s,r,v,w] = tanh(q[k,n,s,v,r] - k[k,n,s,w,r])
-    s = sddmm_pairwise_tanh(q, k, mask)               # (K,N,T,R,V,V)
-    dyn = jnp.einsum("knsrvw,krst->kntvw", s, wrm,
+    s = _cast(sddmm_pairwise_tanh(q, k, mask), dtype)  # (K,N,T,R,V,V)
+    dyn = jnp.einsum("knsrvw,krst->kntvw", s, _cast(wrm, dtype),
                      preferred_element_type=jnp.float32)
     return dyn + brm[:, None, :, None, None]
 
 
 def dyn_adjacency_temporal(x: jnp.ndarray, wm1, bm1, wm2, bm2, wrm, brm,
-                           mask: jnp.ndarray | None = None) -> jnp.ndarray:
+                           mask: jnp.ndarray | None = None,
+                           dtype=None) -> jnp.ndarray:
     """Dynamic per-joint frame adjacency adjustment.
 
     x (N,T,V,C) -> (K,N,V,T,T).  Reference dstdgcn.py:89-92: pairwise tanh
     over frames, mixing the (R, V) score channels into each output joint.
     """
-    q = _project(x, wm1, bm1)                         # (K,N,T,V,R)
-    k = _project(x, wm2, bm2)
+    q = _project(x, wm1, bm1, dtype)                  # (K,N,T,V,R)
+    k = _project(x, wm2, bm2, dtype)
     qt = jnp.swapaxes(q, 2, 3)                        # (K,N,V,T,R)
     kt = jnp.swapaxes(k, 2, 3)
-    s = sddmm_pairwise_tanh(qt, kt, mask)             # (K,N,V,R,T,T)
-    dyn = jnp.einsum("knvrtu,krvw->knwtu", s, wrm,
+    s = _cast(sddmm_pairwise_tanh(qt, kt, mask), dtype)  # (K,N,V,R,T,T)
+    dyn = jnp.einsum("knvrtu,krvw->knwtu", s, _cast(wrm, dtype),
                      preferred_element_type=jnp.float32)
     return dyn + brm[:, None, :, None, None]
 
 
 def aggregate_spatial(xf: jnp.ndarray, adj: jnp.ndarray,
-                      agg: str = "right") -> jnp.ndarray:
+                      agg: str = "right", dtype=None) -> jnp.ndarray:
     """Per-frame dense SpMM over joints, summed over stacked kernels.
 
     xf (K,N,T,V,C), adj (K,N,T,V,V) -> (N,T,V,C).
@@ -124,11 +134,12 @@ def aggregate_spatial(xf: jnp.ndarray, adj: jnp.ndarray,
     """
     eq = "kntvc,kntvw->ntwc" if agg == "right" else "kntvw,kntwc->ntvc"
     a, b = (xf, adj) if agg == "right" else (adj, xf)
-    return jnp.einsum(eq, a, b, preferred_element_type=jnp.float32)
+    return jnp.einsum(eq, _cast(a, dtype), _cast(b, dtype),
+                      preferred_element_type=jnp.float32)
 
 
 def aggregate_temporal(xf: jnp.ndarray, adj: jnp.ndarray,
-                       agg: str = "right") -> jnp.ndarray:
+                       agg: str = "right", dtype=None) -> jnp.ndarray:
     """Per-joint dense SpMM over frames, summed over stacked kernels.
 
     xf (K,N,T,V,C), adj (K,N,V,T,T) -> (N,T,V,C).
@@ -138,6 +149,7 @@ def aggregate_temporal(xf: jnp.ndarray, adj: jnp.ndarray,
     out[n,t,v,c] = sum_{k,u} adj[k,n,v,t,u] * xf[k,n,u,v,c]
     (dstdgcn_fast.py:145-146).
     """
+    xf, adj = _cast(xf, dtype), _cast(adj, dtype)
     if agg == "right":
         return jnp.einsum("kntvc,knvtu->nuvc", xf, adj,
                           preferred_element_type=jnp.float32)
@@ -148,29 +160,32 @@ def aggregate_temporal(xf: jnp.ndarray, adj: jnp.ndarray,
 def dstd_spatial(x: jnp.ndarray, base_adj: jnp.ndarray, alpha: jnp.ndarray,
                  wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
                  mask: jnp.ndarray | None = None,
-                 agg: str = "right") -> jnp.ndarray:
+                 agg: str = "right", dtype=None) -> jnp.ndarray:
     """Full spatial DSTD-GC over K stacked kernels.
 
     x (N,T,V,Ci), base_adj (K,V,V) static part -> (N,T,V,Co).
     effective adjacency = dyn * alpha + base (dstdgcn.py:86).
+    ``dtype=jnp.bfloat16`` runs the contractions in MXU-native mixed
+    precision (bf16 inputs, f32 accumulation); params/outputs stay f32.
     """
     x = _constrain(x)
-    xf = _project(x, wf, bf)                          # (K,N,T,V,Co)
-    dyn = dyn_adjacency_spatial(x, wm1, bm1, wm2, bm2, wrm, brm, mask)
+    xf = _project(x, wf, bf, dtype)                   # (K,N,T,V,Co)
+    dyn = dyn_adjacency_spatial(x, wm1, bm1, wm2, bm2, wrm, brm, mask, dtype)
     adj = dyn * alpha + base_adj[:, None, None, :, :]
-    return _constrain(aggregate_spatial(xf, adj, agg))
+    return _constrain(aggregate_spatial(xf, adj, agg, dtype))
 
 
 def dstd_temporal(x: jnp.ndarray, base_adj: jnp.ndarray, alpha: jnp.ndarray,
                   wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
                   mask: jnp.ndarray | None = None,
-                  agg: str = "right") -> jnp.ndarray:
+                  agg: str = "right", dtype=None) -> jnp.ndarray:
     """Full temporal DSTD-GC over K stacked kernels.
 
     x (N,T,V,Ci), base_adj (K,T,T) static part -> (N,T,V,Co).
     """
     x = _constrain(x)
-    xf = _project(x, wf, bf)                          # (K,N,T,V,Co)
-    dyn = dyn_adjacency_temporal(x, wm1, bm1, wm2, bm2, wrm, brm, mask)
+    xf = _project(x, wf, bf, dtype)                   # (K,N,T,V,Co)
+    dyn = dyn_adjacency_temporal(x, wm1, bm1, wm2, bm2, wrm, brm, mask,
+                                 dtype)
     adj = dyn * alpha + base_adj[:, None, None, :, :]
-    return _constrain(aggregate_temporal(xf, adj, agg))
+    return _constrain(aggregate_temporal(xf, adj, agg, dtype))

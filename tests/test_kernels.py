@@ -92,3 +92,28 @@ def test_model_with_pallas_matches_without():
     y1 = m1.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_compute_dtype_bf16_close_to_f32():
+    """bf16 compute path stays within mixed-precision tolerance of f32."""
+    import jax
+    import jax.numpy as jnp
+    from dstdgcn_tpu.models import DSTDGCN
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 22, 3).astype(np.float32))
+    cfg = dict(input_channels=6, input_time_frame=4, output_time_frame=4,
+               st_gcnn_dropout=0.0, joints_to_consider=22, num_feature=8,
+               num_layers=1, layout="h36m")
+    m32 = DSTDGCN(**cfg)
+    variables = m32.init({"params": jax.random.key(0)}, x, train=False)
+    y32 = m32.apply(variables, x, train=False)
+    m16 = DSTDGCN(**cfg, compute_dtype="bfloat16")
+    y16 = m16.apply(variables, x, train=False)
+    err = float(jnp.abs(y32 - y16).max() / (jnp.abs(y32).max() + 1e-9))
+    assert err < 3e-2, err
+    # gradients flow through the bf16 path
+    g = jax.grad(lambda p: jnp.sum(m16.apply(
+        {"params": p, "batch_stats": variables.get("batch_stats", {})},
+        x, train=False) ** 2))(variables["params"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
