@@ -304,6 +304,9 @@ class PredictionEngine:
         timer = profiling.StepTimer(skip_first=1)
         profile_dir = self.config.get("profile", None)
         profile_steps = int(self.config.get("profile_steps", 5))
+        # failure detection: fail fast on non-finite losses with context
+        # (engine.detect_anomaly config key; the reference trains blind)
+        detect_anomaly = bool(self.config.get("detect_anomaly", False))
         tracing = False
         for i in range(num_iter):
             try:
@@ -326,6 +329,14 @@ class PredictionEngine:
                 self.state, losses = self._train_step(self.state, *batch, lr)
             jax.block_until_ready(losses)
             timer.toc()
+            if detect_anomaly:
+                bad = [name for name, val in losses.items()
+                       if not np.isfinite(float(val))]
+                if bad:
+                    raise FloatingPointError(
+                        f"non-finite loss {bad} at epoch {epoch + 1} "
+                        f"step {i + 1} (lr={float(lr):.2e}); enable "
+                        f"smaller lr or clipping")
             for name, val in losses.items():
                 t_l[name].update(float(val) * n, n)
             desc = f"epoch: {epoch + 1}|[{i + 1}/{num_iter}]|train|" + "".join(

@@ -241,3 +241,34 @@ def test_multi_output_loss_binding():
     with pytest.raises(ValueError):
         PredictionEngine({**cfg, "loss": dict(bad=["jl2", 1.0, 5])},
                          TwoHead())
+
+
+def test_detect_anomaly_raises_on_nan():
+    import numpy as np
+    import pytest
+    from dstdgcn_tpu.engine import PredictionEngine
+    from dstdgcn_tpu.models import DSTDGCN
+
+    model = DSTDGCN(input_channels=6, input_time_frame=2,
+                    output_time_frame=2, st_gcnn_dropout=0.0,
+                    joints_to_consider=22, num_feature=4, num_layers=1,
+                    layout="h36m")
+    cfg = dict(learn=dict(opt="adam", lr=1e-3, weight_decay=0, gamma=0.9,
+                          step_size=5),
+               loss=dict(joint=["jl2", 1]), n_out=1, transform="tsc",
+               use_weight=False, inverse=False, max_iter=-1,
+               detect_anomaly=True)
+    eng = PredictionEngine(cfg, model)
+    inputs = np.full((2, 4, 66), np.nan, np.float32)
+    targets = np.zeros((2, 4, 66), np.float32)
+    eng.init(np.zeros((1, 4, 66), np.float32))
+
+    class L:
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            yield inputs, inputs, targets, targets
+
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        eng.train(L(), epoch=0)
