@@ -35,6 +35,12 @@ __all__ = [
     "bone_incidence",
     "jbc_adjacency",
     "flattened_adjacency",
+    "hop_distance",
+    "normalize_digraph",
+    "normalize_undigraph",
+    "stgcn_adjacency",
+    "joint_bone_transition",
+    "joint_bone_flattened",
 ]
 
 
@@ -325,3 +331,185 @@ def flattened_adjacency(layout: str | SkeletonLayout, kind: str,
             adj[np.ix_(base + d, base + d)] = 1.0
         return adj - np.eye(n, dtype=np.float32)
     raise ValueError(f"invalid flattened adjacency kind {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# ST-GCN-style partitioned graphs + hop/normalization helpers.
+#
+# Capability parity with the reference's graph utilities in
+# dataset/utils.py:1049-1082 (get_hop_distance / normalize_digraph /
+# normalize_undigraph) and the ST-GCN-style GraphH36
+# (dataset/utils.py:1806-1898), generalized: partitioning is a function of
+# (edges, center) rather than a hard-coded h36m class.  NB the reference
+# GraphH36 applies an extra ``-1`` to already-compact joint indices
+# (dataset/utils.py:1856), wrapping one endpoint to the last row — an
+# off-by-one in dead code that we do NOT reproduce; golden tests instead
+# feed the reference's own edge list through our generic partitioner.
+# ---------------------------------------------------------------------------
+
+
+def hop_distance(edges: np.ndarray, num_node: int, max_hop: int = 1
+                 ) -> np.ndarray:
+    """(V, V) graph-hop distance; ``inf`` beyond ``max_hop``.
+
+    Parity with reference ``get_hop_distance`` (dataset/utils.py:1049-1061):
+    distances computed from boolean powers of the symmetrized adjacency.
+    """
+    adj = np.zeros((num_node, num_node))
+    edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    adj[edges[:, 0], edges[:, 1]] = 1.0
+    adj[edges[:, 1], edges[:, 0]] = 1.0
+    dist = np.full((num_node, num_node), np.inf)
+    reach = np.stack([np.linalg.matrix_power(adj, d) > 0
+                      for d in range(max_hop + 1)])
+    for d in range(max_hop, -1, -1):
+        dist[reach[d]] = d
+    return dist
+
+
+def normalize_digraph(adj: np.ndarray) -> np.ndarray:
+    """Column-normalize: ``A @ D^-1`` (reference dataset/utils.py:1064-1072)."""
+    deg = adj.sum(0)
+    inv = np.where(deg > 0, 1.0 / np.where(deg > 0, deg, 1.0), 0.0)
+    return adj * inv[None, :]
+
+
+def normalize_undigraph(adj: np.ndarray) -> np.ndarray:
+    """Symmetric normalize ``D^-1/2 A D^-1/2`` (dataset/utils.py:1075-1082)."""
+    deg = adj.sum(0)
+    inv = np.where(deg > 0, np.where(deg > 0, deg, 1.0) ** -0.5, 0.0)
+    return inv[:, None] * adj * inv[None, :]
+
+
+def stgcn_adjacency(layout: str | SkeletonLayout | np.ndarray,
+                    strategy: str = "uniform", max_hop: int = 1,
+                    dilation: int = 1, center: int = 7,
+                    num_node: int | None = None) -> np.ndarray:
+    """(K, V, V) ST-GCN partitioned adjacency stack.
+
+    Parity with reference ``GraphH36.get_adjacency``
+    (dataset/utils.py:1860-1898), generalized to any layout or explicit
+    edge list.  Strategies:
+
+    * ``uniform``   K=1: hop-thresholded adjacency, column-normalized
+    * ``distance``  K=len(valid_hops): one normalized slice per hop
+    * ``spatial``   root/centripetal/centrifugal partitions by
+      distance-to-``center`` comparison (hop 0 root-only, then
+      (root+close, further) per hop)
+    """
+    if isinstance(layout, (str, SkeletonLayout)):
+        lay = get_layout(layout) if isinstance(layout, str) else layout
+        v = lay.num_joints
+        edges = np.concatenate(
+            [np.stack([np.arange(v)] * 2, -1), lay.kinematic_bones])
+    else:
+        edges = np.asarray(layout, dtype=np.int64).reshape(-1, 2)
+        if num_node is None:
+            num_node = int(edges.max()) + 1
+        v = num_node
+    dist = hop_distance(edges, v, max_hop=max_hop)
+    valid = range(0, max_hop + 1, dilation)
+    thresh = np.zeros((v, v))
+    for h in valid:
+        thresh[dist == h] = 1.0
+    norm = normalize_digraph(thresh)
+    if strategy == "uniform":
+        return norm[None].astype(np.float32)
+    if strategy == "distance":
+        out = np.zeros((len(list(valid)), v, v))
+        for i, h in enumerate(valid):
+            out[i][dist == h] = norm[dist == h]
+        return out.astype(np.float32)
+    if strategy == "spatial":
+        to_center = dist[:, center]
+        slices = []
+        for h in valid:
+            # entry [j, i] as in the reference's double loop; dist symmetric
+            on_hop = dist == h
+            root = on_hop & (to_center[:, None] == to_center[None, :])
+            close = on_hop & (to_center[:, None] > to_center[None, :])
+            further = on_hop & (to_center[:, None] < to_center[None, :])
+            a_root = np.where(root, norm, 0.0)
+            a_close = np.where(close, norm, 0.0)
+            a_further = np.where(further, norm, 0.0)
+            if h == 0:
+                slices.append(a_root)
+            else:
+                slices.append(a_root + a_close)
+                slices.append(a_further)
+        return np.stack(slices).astype(np.float32)
+    raise ValueError(f"invalid stgcn strategy {strategy!r}")
+
+
+def joint_bone_transition(layout: str | SkeletonLayout, dims: int = 3
+                          ) -> np.ndarray:
+    """(V*dims, E*dims) unsigned joint->bone transition matrix.
+
+    Parity with reference ``JointBoneTransformH36.get_transition``
+    (dataset/utils.py:1996-2011), generalized to every layout: entry
+    ``[j*dims+d, e*dims+d] = 1`` iff joint ``j`` is an endpoint of bone
+    ``e`` (both endpoints positive — the unsigned counterpart of
+    :func:`bone_incidence`).
+    """
+    lay = get_layout(layout) if isinstance(layout, str) else layout
+    bones = lay.kinematic_bones
+    e = len(bones)
+    out = np.zeros((lay.num_joints * dims, e * dims), np.float32)
+    for d in range(dims):
+        out[bones[:, 0] * dims + d, np.arange(e) * dims + d] = 1.0
+        out[bones[:, 1] * dims + d, np.arange(e) * dims + d] = 1.0
+    return out
+
+
+def joint_bone_flattened(layout: str | SkeletonLayout, kind: str,
+                         dims: int = 3) -> np.ndarray:
+    """Coordinate-level clique adjacency over joints or bones.
+
+    Parity with reference ``JointBoneTransformH36``
+    ``get_joint_flatten_adjacent`` / ``get_bone_flattens_adjacent`` /
+    ``get_joint_adjacent`` / ``get_bone_adjacent``
+    (dataset/utils.py:1956-2028), generalized to every layout.  Unlike
+    :func:`flattened_adjacency` (same-coordinate edges only), these form
+    full ``dims x dims`` cliques across connected node pairs, plus
+    intra-node coordinate cliques.  Kinds:
+
+    * ``joint``       (V*dims, V*dims) cliques along kinematic bones
+    * ``bone``        (E*dims, E*dims) cliques between bones sharing a joint
+      (upper-triangular pair scan like the reference — symmetric output)
+    * ``joint-node``  (V, V) identity + symmetric bone edges
+    * ``bone-node``   (E, E) identity + upper-triangular shared-joint edges
+    """
+    lay = get_layout(layout) if isinstance(layout, str) else layout
+    bones = lay.kinematic_bones
+    v, e = lay.num_joints, len(bones)
+
+    def clique(adj, a, b):
+        for i in range(dims):
+            for j in range(dims):
+                adj[a * dims + i, b * dims + j] = 1.0
+                adj[b * dims + i, a * dims + j] = 1.0
+                adj[a * dims + i, a * dims + j] = 1.0
+                adj[b * dims + i, b * dims + j] = 1.0
+
+    if kind == "joint":
+        adj = np.eye(v * dims, dtype=np.float32)
+        for a, b in bones:
+            clique(adj, a, b)
+        return adj
+    if kind == "bone":
+        adj = np.eye(e * dims, dtype=np.float32)
+        for i in range(e):
+            for j in range(i, e):
+                if set(bones[i]) & set(bones[j]):
+                    clique(adj, i, j)
+        return adj
+    if kind == "joint-node":
+        return _symmetrize(np.eye(v, dtype=np.float32), bones)
+    if kind == "bone-node":
+        adj = np.eye(e, dtype=np.float32)
+        for i in range(e):
+            for j in range(i, e):
+                if set(bones[i]) & set(bones[j]):
+                    adj[i, j] = 1.0
+        return adj
+    raise ValueError(f"invalid joint-bone flattened kind {kind!r}")

@@ -113,3 +113,64 @@ def test_jbc_and_flattened_structural(layout):
     assert coord.sum() == v * 3 * 2  # each joint: a 3-clique (6 directed)
     conn = sk.flattened_adjacency(layout, "connection")
     assert np.array_equal(np.diag(conn), np.zeros(3 * v))
+
+
+@needs_ref
+def test_hop_and_normalize_match_reference():
+    from dataset.utils import (get_hop_distance, normalize_digraph,
+                               normalize_undigraph)
+    rng = np.random.RandomState(3)
+    edges = [(i, j) for i in range(10) for j in range(10)
+             if i != j and rng.rand() < 0.25]
+    ours = sk.hop_distance(np.asarray(edges), 10, max_hop=3)
+    ref = get_hop_distance(10, edges, max_hop=3)
+    assert np.array_equal(ours, ref)
+    adj = (rng.rand(12, 12) < 0.3).astype(float)
+    assert np.allclose(sk.normalize_digraph(adj), normalize_digraph(adj))
+    assert np.allclose(sk.normalize_undigraph(adj), normalize_undigraph(adj))
+
+
+@needs_ref
+@pytest.mark.parametrize("strategy", ["uniform", "distance", "spatial"])
+def test_stgcn_adjacency_matches_reference_h36m(strategy):
+    """Generic partitioner vs GraphH36, fed the reference's own edge list
+    (its compact-index remap has an off-by-one we don't bake into our
+    layout tables — see skeleton.py docstring)."""
+    from dataset.utils import GraphH36
+    for max_hop in (1, 2):
+        ref = GraphH36("h36m", strategy=strategy, max_hop=max_hop)
+        ours = sk.stgcn_adjacency(np.asarray(ref.edge), strategy=strategy,
+                                  max_hop=max_hop, center=ref.center,
+                                  num_node=ref.num_node)
+        assert ours.shape == ref.A_j.shape
+        assert np.allclose(ours, ref.A_j, atol=1e-7)
+
+
+@needs_ref
+def test_joint_bone_transform_matches_reference_h36m():
+    from dataset.utils import JointBoneTransformH36
+    ref = JointBoneTransformH36()
+    assert np.array_equal(sk.joint_bone_flattened("h36m", "joint"),
+                          ref.get_joint_flatten_adjacent().astype(np.float32))
+    assert np.array_equal(sk.joint_bone_flattened("h36m", "bone"),
+                          ref.get_bone_flattens_adjacent().astype(np.float32))
+    assert np.array_equal(sk.joint_bone_flattened("h36m", "joint-node"),
+                          ref.get_joint_adjacent().astype(np.float32))
+    assert np.array_equal(sk.joint_bone_flattened("h36m", "bone-node"),
+                          ref.get_bone_adjacent().astype(np.float32))
+    assert np.array_equal(sk.joint_bone_transition("h36m"),
+                          ref.get_transition().astype(np.float32))
+
+
+@pytest.mark.parametrize("layout", ["h36m", "cmu", "3dpw"])
+def test_stgcn_and_joint_bone_generalize(layout):
+    for strategy, k in (("uniform", 1), ("spatial", 3)):
+        a = sk.stgcn_adjacency(layout, strategy=strategy, max_hop=1, center=0)
+        v = sk.get_layout(layout).num_joints
+        assert a.shape == (k, v, v)
+        # each partition stack sums back to the normalized adjacency
+        assert np.all(a.sum(0) >= 0)
+    trans = sk.joint_bone_transition(layout)
+    e = len(sk.get_layout(layout).kinematic_bones)
+    assert trans.shape == (3 * sk.get_layout(layout).num_joints, 3 * e)
+    assert np.array_equal(trans.sum(0), 2 * np.ones(3 * e))
