@@ -3,22 +3,43 @@
 One kernel evaluates a full spatial (or temporal) DSTD-GC — feature
 transform, SDDMM-style pairwise-tanh correlation, frame/joint mixing,
 adjacency assembly, and SpMM aggregation — per block of samples, entirely
-in VMEM.  The all-pairs score tensor ``(T, R, V, V)`` and the dynamic
-adjacency never touch HBM (the XLA path materializes both), so HBM traffic
-drops to the feature read + result write.
+in VMEM.  The all-pairs score tensor and the dynamic adjacency never touch
+HBM.  On the XLA path those intermediates are materialized with their
+minor dims (V~22..25 joints, R=2 reduction channels) padded to 128-lane
+tiles, so the op is bound by ~5-60x inflated HBM traffic (measured in
+``scripts/profile_components.py``); fusing removes that entirely.
 
-Semantics are identical to :mod:`dstdgcn_tpu.ops.dstd` (golden-tested);
-gradients flow through a ``custom_vjp`` whose backward is derived from the
-oracle, so training with ``use_pallas=True`` is exact.
+Semantics are identical to :mod:`dstdgcn_tpu.ops.dstd` (golden-tested
+against /root/reference/model/dstdgcn.py:53-94 via the oracle); gradients
+flow through a ``custom_vjp`` whose backward is derived from the oracle,
+so training with ``use_pallas=True`` is exact.
 
-Grid: one program per block of NB samples (largest of 8/4/2/1 dividing N).
-Per-program VMEM at the flagship shape (T=35, V=22, C=64, NB=8) is ~8 MB.
+Mosaic layout strategy (every primitive compile-verified on a real v5e via
+``scripts/probe_mosaic.py``):
+
+  * joints are zero-padded to a sublane multiple (Vp = ceil(V/8)*8) so
+    ``(nb*T*Vp, C) <-> (nb*T, Vp, C)`` reshapes are tile-aligned;
+  * pairwise scores are built with unit-dim broadcasts
+    ``tanh(q[..., V, 1] - k[..., 1, V])`` (no gather/relayout);
+  * the frame/joint mixing contraction runs as a *batched* 3D
+    ``dot_general`` with the (n, src-node) pairs as the batch dim and the
+    R score channels folded into the contraction via a sublane concat;
+  * batch-axis reorientation (src-node-batched -> frame-batched) uses 4D
+    ``swapaxes(1, 2)`` with the lane dim unchanged — supported by Mosaic
+    (lane-dim merges/splits like ``(B, V, W) -> (B, V*W)`` are NOT, which
+    rules out the flat-pair-lane formulation);
+  * the K stacked kernels are folded into ONE aggregation matmul by
+    concatenating adjacencies on lanes and features on sublanes.
+
+Grid: one program per block of NB samples (default 2, override with
+``DSTDGCN_FUSED_NB``); weights use constant index maps so Mosaic keeps
+them VMEM-resident across programs.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+import os
 
 import jax
 import jax.numpy as jnp
@@ -39,141 +60,219 @@ __all__ = ["dstd_spatial", "dstd_temporal", "available"]
 def available() -> bool:
     """True when the fused whole-op kernel path is usable.
 
-    On CPU the Pallas interpreter executes the kernel bodies (used by the
-    golden tests).  On TPU the current Mosaic lowering rejects the 5D
-    score-tensor transposes these bodies use for V~22 skeletons — and at
-    those shapes the XLA path is already MXU-bound — so the dispatcher
-    routes to the oracle there.  Large-graph Pallas kernels live in
-    :mod:`dstdgcn_tpu.kernels.sparse` with Mosaic-aligned tiles.
+    On TPU the kernels compile with Mosaic; on CPU the Pallas interpreter
+    executes the same bodies (used by the golden tests).  Other backends
+    fall back to the XLA oracle.
     """
     if not _PALLAS_OK:
         return False
-    return jax.default_backend() == "cpu"
+    return jax.default_backend() in ("tpu", "cpu")
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
 
 
 def _block_samples(n: int) -> int:
-    for nb in (8, 4, 2, 1):
-        if n % nb == 0:
+    env = os.environ.get("DSTDGCN_FUSED_NB")
+    prefer = int(env) if env else 2
+    for nb in (prefer, 2, 1):
+        if nb >= 1 and n % nb == 0:
             return nb
     return 1
 
 
+def _pad_to(x, axis: int, size: int):
+    pad = size - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _joint_mask(nb: int, t: int, vp: int, v_real: int):
+    """(nb*t*vp, 1) float mask that is 0 on zero-padded joint rows."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb * t * vp, 1), 0)
+    return jnp.where(rows % vp < v_real, 1.0, 0.0).astype(jnp.float32)
+
+
+def _project(x2, w_ref, b_ref, k):
+    y = jnp.dot(x2, w_ref[k], preferred_element_type=jnp.float32)
+    return y + b_ref[k]
+
+
 def _spatial_kernel(x_ref, base_ref, alpha_ref, wf_ref, bf_ref, wm1_ref,
                     bm1_ref, wm2_ref, bm2_ref, wrm_ref, brm_ref, out_ref,
-                    *, num_kernels: int, agg: str):
-    nb, t, v, cin = x_ref.shape
+                    *, num_kernels: int, agg: str, v_real: int):
+    """Spatial DSTD-GC: per-frame joint graph (reference dstdgcn.py:75-87).
+
+    x (nb, T, Vp, Ci) -> out (nb, T, Vp, Co).  wrm_ref is host-prepared as
+    (K, T_out, R*T_s); base_ref as (K, Vp, 1, Vp); brm_ref as (K, T, 1).
+    """
+    nb, t, vp, cin = x_ref.shape
     co = out_ref.shape[-1]
     r = wm1_ref.shape[-1]
-    x = x_ref[:].reshape(nb * t * v, cin)
+    x2 = x_ref[:].reshape(nb * t * vp, cin)
     alpha = alpha_ref[0, 0]
-    acc = jnp.zeros((nb * t, v, co), jnp.float32)
+    jmask = _joint_mask(nb, t, vp, v_real)
+
+    xfs, adjs = [], []
     for k in range(num_kernels):
-        xf = jnp.dot(x, wf_ref[k], preferred_element_type=jnp.float32)
-        xf = (xf + bf_ref[k]).reshape(nb * t, v, co)
-        q = jnp.dot(x, wm1_ref[k], preferred_element_type=jnp.float32)
-        q = (q + bm1_ref[k]).reshape(nb, t, v, r)
-        kk = jnp.dot(x, wm2_ref[k], preferred_element_type=jnp.float32)
-        kk = (kk + bm2_ref[k]).reshape(nb, t, v, r)
-        # scores: (nb, t, v, w, r) -> contraction layout (nb, v, w, r*t)
-        s = jnp.tanh(q[:, :, :, None, :] - kk[:, :, None, :, :])
-        s = s.transpose(0, 2, 3, 4, 1).reshape(nb, v * v, r * t)
-        # frame mixing on the MXU: (v*v, r*t) @ (r*t, t)
-        w_mix = wrm_ref[k].reshape(r * t, t)
+        xf = _project(x2, wf_ref, bf_ref, k) * jmask
+        xfs.append(xf.reshape(nb * t, vp, co))
+        q = _project(x2, wm1_ref, bm1_ref, k)
+        kk = _project(x2, wm2_ref, bm2_ref, k)
+        # scores per reduction channel, re-batched over (n, src joint)
+        svs = []
+        for ri in range(r):
+            q4 = q[:, ri:ri + 1].reshape(nb, t, vp, 1)
+            k4 = jnp.swapaxes(kk[:, ri:ri + 1].reshape(nb, t, vp, 1), 2, 3)
+            s = jnp.tanh(q4 - k4)                      # (nb, Ts, v, w)
+            svs.append(jnp.swapaxes(s, 1, 2)           # (nb, v, Ts, w)
+                       .reshape(nb * vp, t, vp))
+        s_cat = jnp.concatenate(svs, axis=1)           # (nb*v, R*Ts, w)
+        # frame mixing on the MXU, batched over (n, v): one (To x R*Ts)
+        # @ (R*Ts x W) matmul per source joint
+        wb = jnp.broadcast_to(wrm_ref[k][None], (nb * vp, t, r * t))
         dyn = jax.lax.dot_general(
-            s, w_mix, (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (nb, v*v, t)
-        dyn = dyn.reshape(nb, v, v, t).transpose(0, 3, 1, 2)
-        adj = (dyn + brm_ref[k][None, :, None, None]) * alpha \
-            + base_ref[k][None, None]
-        adj = adj.reshape(nb * t, v, v)
-        # per-frame aggregation (batched MXU matmuls over nb*t)
+            wb, s_cat, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # (nb*v, To, w)
+        base_b = jnp.broadcast_to(base_ref[k][None], (nb, vp, 1, vp)) \
+            .reshape(nb * vp, 1, vp)
+        adj = (dyn + brm_ref[k][None]) * alpha + base_b
+        # re-batch over (n, frame) for the per-frame aggregation
+        adj_b = jnp.swapaxes(adj.reshape(nb, vp, t, vp), 1, 2) \
+            .reshape(nb * t, vp, vp)
         if agg == "right":
-            acc += jax.lax.dot_general(
-                adj, xf, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)   # out[w,c]=sum_v a[v,w]x[v,c]
-        else:
-            acc += jax.lax.dot_general(
-                adj, xf, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)   # out[v,c]=sum_w a[v,w]x[w,c]
-    out_ref[:] = acc.reshape(nb, t, v, co)
+            # out[w, c] = sum_v adj[v, w] xf[v, c]  (dstdgcn.py:87)
+            adj_b = jnp.swapaxes(adj_b, 1, 2)
+        adjs.append(adj_b)
+    # fold the K stacked kernels into one batched matmul: adjacencies on
+    # lanes, features on sublanes
+    adj_cat = adjs[0] if num_kernels == 1 else jnp.concatenate(adjs, axis=2)
+    xf_cat = xfs[0] if num_kernels == 1 else jnp.concatenate(xfs, axis=1)
+    out = jax.lax.dot_general(
+        adj_cat, xf_cat, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # (nb*T, Vp, Co)
+    out = out.reshape(nb * t * vp, co) * jmask
+    out_ref[:] = out.reshape(nb, t, vp, co)
 
 
 def _temporal_kernel(x_ref, base_ref, alpha_ref, wf_ref, bf_ref, wm1_ref,
                      bm1_ref, wm2_ref, bm2_ref, wrm_ref, brm_ref, out_ref,
-                     *, num_kernels: int, agg: str):
-    nb, t, v, cin = x_ref.shape
+                     *, num_kernels: int, agg: str, v_real: int):
+    """Temporal DSTD-GC: per-joint frame graph (reference dstdgcn.py:89-93).
+
+    x (nb, T, Vp, Ci) -> out (nb, T, Vp, Co).  wrm_ref is host-prepared as
+    (K, Wp, R*Vp) with zero rows/cols for padded joints; base_ref as
+    (K, T, 1, T); brm_ref as (K, Vp, 1).
+    """
+    nb, t, vp, cin = x_ref.shape
     co = out_ref.shape[-1]
     r = wm1_ref.shape[-1]
-    x = x_ref[:].reshape(nb * t * v, cin)
+    x2 = x_ref[:].reshape(nb * t * vp, cin)
     alpha = alpha_ref[0, 0]
-    acc = jnp.zeros((nb, t, v, co), jnp.float32)
+    jmask = _joint_mask(nb, t, vp, v_real)
+
+    xfs, adjs = [], []
     for k in range(num_kernels):
-        xf = jnp.dot(x, wf_ref[k], preferred_element_type=jnp.float32)
-        xf = (xf + bf_ref[k]).reshape(nb, t, v, co)
-        q = jnp.dot(x, wm1_ref[k], preferred_element_type=jnp.float32)
-        q = (q + bm1_ref[k]).reshape(nb, t, v, r)
-        kk = jnp.dot(x, wm2_ref[k], preferred_element_type=jnp.float32)
-        kk = (kk + bm2_ref[k]).reshape(nb, t, v, r)
-        # scores per joint over frame pairs: (nb, t, u, v, r)
-        s = jnp.tanh(q[:, :, None, :, :] - kk[:, None, :, :, :])
-        # joint mixing: contraction dim (r*v) -> output joints w
-        s = s.transpose(0, 1, 2, 4, 3).reshape(nb, t * t, r * v)
-        w_mix = wrm_ref[k].reshape(r * v, v)
+        xf = _project(x2, wf_ref, bf_ref, k) * jmask
+        # features batched over (n, joint) for the per-joint aggregation
+        xf_v = jnp.swapaxes(xf.reshape(nb, t, vp, co), 1, 2) \
+            .reshape(nb * vp, t, co)
+        xfs.append(xf_v)
+        q = _project(x2, wm1_ref, bm1_ref, k)
+        kk = _project(x2, wm2_ref, bm2_ref, k)
+        # frame-pair scores per joint, re-batched over (n, q-frame)
+        svs = []
+        for ri in range(r):
+            q5 = jnp.swapaxes(q[:, ri:ri + 1].reshape(nb, t, vp, 1), 1, 2) \
+                .reshape(nb * vp, t, 1)
+            k5 = jnp.swapaxes(kk[:, ri:ri + 1].reshape(nb, t, vp, 1), 1, 2) \
+                .reshape(nb * vp, t, 1)
+            s = jnp.tanh(q5 - jnp.swapaxes(k5, 1, 2))  # (nb*v, Tt, Tu)
+            svs.append(jnp.swapaxes(s.reshape(nb, vp, t, t), 1, 2)
+                       .reshape(nb * t, vp, t))        # (nb*Tt, v', Tu)
+        s_cat = jnp.concatenate(svs, axis=1)           # (nb*Tt, R*Vp, Tu)
+        # joint mixing on the MXU, batched over (n, t): (Wp x R*Vp)
+        # @ (R*Vp x Tu); padded joints are killed by zero wrm rows/cols
+        wb = jnp.broadcast_to(wrm_ref[k][None], (nb * t, vp, r * vp))
         dyn = jax.lax.dot_general(
-            s, w_mix, (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (nb, t*t, v)
-        dyn = dyn.reshape(nb, t, t, v).transpose(0, 3, 1, 2)  # (nb,v,t,u)
-        adj = (dyn + brm_ref[k][None, :, None, None]) * alpha \
-            + base_ref[k][None, None]                 # (nb, v, t, u)
-        # per-joint temporal aggregation: batched over (nb, v)
-        xf_v = xf.transpose(0, 2, 1, 3).reshape(nb * v, t, co)
-        adj_v = adj.reshape(nb * v, t, t)
+            wb, s_cat, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # (nb*Tt, Wp, Tu)
+        base_b = jnp.broadcast_to(base_ref[k][None], (nb, t, 1, t)) \
+            .reshape(nb * t, 1, t)
+        adj = (dyn + brm_ref[k][None]) * alpha + base_b
+        # re-batch over (n, joint) for the per-joint aggregation
+        adj_v = jnp.swapaxes(adj.reshape(nb, t, vp, t), 1, 2) \
+            .reshape(nb * vp, t, t)
         if agg == "right":
-            z = jax.lax.dot_general(
-                adj_v, xf_v, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)   # out[u,c]=sum_t a[t,u]x[t,c]
-        else:
-            z = jax.lax.dot_general(
-                adj_v, xf_v, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)   # out[t,c]=sum_u a[t,u]x[u,c]
-        acc += z.reshape(nb, v, t, co).transpose(0, 2, 1, 3)
-    out_ref[:] = acc
+            # out[u, c] = sum_t adj[t, u] xf[t, c]  (dstdgcn.py:93)
+            adj_v = jnp.swapaxes(adj_v, 1, 2)
+        adjs.append(adj_v)
+    adj_cat = adjs[0] if num_kernels == 1 else jnp.concatenate(adjs, axis=2)
+    xf_cat = xfs[0] if num_kernels == 1 else jnp.concatenate(xfs, axis=1)
+    out_v = jax.lax.dot_general(
+        adj_cat, xf_cat, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # (nb*Vp, T, Co)
+    out = jnp.swapaxes(out_v.reshape(nb, vp, t, co), 1, 2)
+    out = out.reshape(nb * t * vp, co) * jmask
+    out_ref[:] = out.reshape(nb, t, vp, co)
 
 
-def _pallas_forward(kernel_body, x, base, alpha, wf, bf, wm1, bm1, wm2, bm2,
-                    wrm, brm, agg: str):
+def _prep_spatial(base, wrm, brm, vp):
+    k, rr, t, _ = wrm.shape
+    wrm_t = jnp.transpose(wrm, (0, 3, 1, 2)).reshape(k, t, rr * t)
+    base_p = _pad_to(_pad_to(base, 1, vp), 2, vp)[:, :, None, :]
+    return base_p, wrm_t, brm[:, :, None]
+
+
+def _prep_temporal(base, wrm, brm, vp):
+    k, rr, v, w = wrm.shape
+    wrm_p = _pad_to(_pad_to(wrm, 2, vp), 3, vp)
+    wrm_t = jnp.transpose(wrm_p, (0, 3, 1, 2)).reshape(k, vp, rr * vp)
+    base_p = base[:, :, None, :]
+    brm_p = _pad_to(brm, 1, vp)[:, :, None]
+    return base_p, wrm_t, brm_p
+
+
+def _pallas_forward(kernel_body, prep, x, base, alpha, wf, bf, wm1, bm1,
+                    wm2, bm2, wrm, brm, agg: str):
     n, t, v, cin = x.shape
     k = wf.shape[0]
     co = wf.shape[-1]
+    vp = -(-v // 8) * 8
     nb = _block_samples(n)
-    grid = (n // nb,)
+    x_p = _pad_to(x.astype(jnp.float32), 2, vp)
+    base_p, wrm_t, brm_p = prep(base, wrm, brm, vp)
     alpha_arr = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
+    bf2, bm12, bm22 = bf[:, None, :], bm1[:, None, :], bm2[:, None, :]
 
     def vmem_full(a):
         nd = a.ndim
         return pl.BlockSpec(a.shape, lambda i, _n=nd: (0,) * _n,
                             memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
-        functools.partial(kernel_body, num_kernels=k, agg=agg),
-        out_shape=jax.ShapeDtypeStruct((n, t, v, co), jnp.float32),
-        grid=grid,
+    out = pl.pallas_call(
+        functools.partial(kernel_body, num_kernels=k, agg=agg, v_real=v),
+        out_shape=jax.ShapeDtypeStruct((n, t, vp, co), jnp.float32),
+        grid=(n // nb,),
         in_specs=[
-            pl.BlockSpec((nb, t, v, cin), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((nb, t, vp, cin), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            vmem_full(base), vmem_full(alpha_arr), vmem_full(wf),
-            vmem_full(bf), vmem_full(wm1), vmem_full(bm1), vmem_full(wm2),
-            vmem_full(bm2), vmem_full(wrm), vmem_full(brm),
+            vmem_full(base_p), vmem_full(alpha_arr), vmem_full(wf),
+            vmem_full(bf2), vmem_full(wm1), vmem_full(bm12), vmem_full(wm2),
+            vmem_full(bm22), vmem_full(wrm_t), vmem_full(brm_p),
         ],
-        out_specs=pl.BlockSpec((nb, t, v, co), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((nb, t, vp, co), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        # CPU backend: semantics-checking interpreter (tests); TPU: Mosaic
-        interpret=(jax.default_backend() != "tpu"),
-    )(x.astype(jnp.float32), base, alpha_arr, wf, bf, wm1, bm1, wm2, bm2,
-      wrm, brm)
+        interpret=_interpret(),
+    )(x_p, base_p, alpha_arr, wf, bf2, wm1, bm12, wm2, bm22, wrm_t, brm_p)
+    return out[:, :, :v, :]
 
 
-def _make_op(kernel_body, oracle_fn):
+def _make_op(kernel_body, prep, oracle_fn):
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
     def op(x, base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
@@ -181,8 +280,8 @@ def _make_op(kernel_body, oracle_fn):
         if mask is not None or not available():
             return oracle_fn(x, base, alpha, wf, bf, wm1, bm1, wm2, bm2,
                              wrm, brm, mask, agg)
-        return _pallas_forward(kernel_body, x, base, alpha, wf, bf, wm1,
-                               bm1, wm2, bm2, wrm, brm, agg)
+        return _pallas_forward(kernel_body, prep, x, base, alpha, wf, bf,
+                               wm1, bm1, wm2, bm2, wrm, brm, agg)
 
     def fwd(x, base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm, mask, agg):
         out = op(x, base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
@@ -200,5 +299,6 @@ def _make_op(kernel_body, oracle_fn):
     return op
 
 
-dstd_spatial = _make_op(_spatial_kernel, oracle.dstd_spatial)
-dstd_temporal = _make_op(_temporal_kernel, oracle.dstd_temporal)
+dstd_spatial = _make_op(_spatial_kernel, _prep_spatial, oracle.dstd_spatial)
+dstd_temporal = _make_op(_temporal_kernel, _prep_temporal,
+                         oracle.dstd_temporal)
