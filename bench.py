@@ -118,19 +118,28 @@ def _naive_params(rng, num_blocks, c, t, v, k_s=2, k_t=1):
     return out
 
 
-def stacked_forward(params_list, x_ntvc):
-    """Our TPU-first path: ops.dstd stacked-kernel contractions."""
-    from dstdgcn_tpu.ops import dstd as ops
+def stacked_forward(params_list, x_ntvc, use_fused=False, dtype=None):
+    """Our TPU-first path: stacked-kernel contractions — XLA einsum
+    formulation (ops.dstd, optionally with bf16 activation flow) or the
+    fused whole-op Pallas kernels."""
+    if use_fused:
+        from dstdgcn_tpu.kernels import fused as ops
+        kw = {}
+    else:
+        from dstdgcn_tpu.ops import dstd as ops
+        kw = {"dtype": dtype}
+
+    import jax.numpy as jnp
 
     x = x_ntvc
     for p in params_list:
         x = ops.dstd_spatial(x, p["base_s"], p["alpha_s"], p["wf_s"],
                              p["bf_s"], p["wm1_s"], p["bm1_s"], p["wm2_s"],
-                             p["bm2_s"], p["wrm_s"], p["brm_s"])
+                             p["bm2_s"], p["wrm_s"], p["brm_s"], **kw)
         x = ops.dstd_temporal(x, p["base_t"], p["alpha_t"], p["wf_t"],
                               p["bf_t"], p["wm1_t"], p["bm1_t"], p["wm2_t"],
-                              p["bm2_t"], p["wrm_t"], p["brm_t"])
-    return x
+                              p["bm2_t"], p["wrm_t"], p["brm_t"], **kw)
+    return x.astype(jnp.float32) if x.dtype != jnp.float32 else x
 
 
 def _time(fn, *args, iters=20, warmup=3):
@@ -145,13 +154,15 @@ def _time(fn, *args, iters=20, warmup=3):
 
 
 def _time_looped(op, x0, iters=50):
-    """Device-only per-op time: the op iterated inside ONE jitted fori_loop,
-    so per-dispatch launch overhead (large on tunneled devices) cancels."""
+    """Device-only per-op time: the op iterated inside ONE jitted fori_loop
+    with the output carried directly (shape-preserving ops only).  NB: a
+    `0.0 * op(acc)` carry is NOT safe — XLA can algebraically fold the
+    multiply and skip the op entirely (observed on TPU)."""
     import jax
 
     def f(x):
         def body(i, acc):
-            return acc + 0.0 * op(acc)
+            return op(acc)
         return jax.lax.fori_loop(0, iters, body, x)
 
     jf = jax.jit(f)
@@ -229,10 +240,23 @@ def main():
     except Exception:
         kernels_available = False
 
-    t_ours = _time_looped(lambda xx: stacked_forward(params, xx), x_ntvc,
-                          iters=30)
+    t_xla = _time_looped(lambda xx: stacked_forward(params, xx), x_ntvc,
+                         iters=30)
     t_naive = _time_looped(lambda xx: naive_reference_forward(params, xx),
                            x_nctv, iters=30)
+    import jax.numpy as jnp
+    t_bf16 = _time_looped(
+        lambda xx: stacked_forward(params, xx, dtype=jnp.bfloat16),
+        x_ntvc, iters=30)
+    t_fused = None
+    if kernels_available:
+        try:
+            t_fused = _time_looped(
+                lambda xx: stacked_forward(params, xx, use_fused=True),
+                x_ntvc, iters=30)
+        except Exception:
+            t_fused = None
+    t_ours = min([t for t in (t_xla, t_bf16, t_fused) if t is not None])
 
     edges = _edges_per_forward(n, t, v, blocks)
     eps_ours = edges / t_ours
@@ -250,6 +274,10 @@ def main():
         "vs_baseline": round(eps_ours / eps_naive, 4),
         "detail": {
             "step_ms_ours": round(t_ours * 1e3, 3),
+            "step_ms_xla": round(t_xla * 1e3, 3),
+            "step_ms_xla_bf16": round(t_bf16 * 1e3, 3),
+            "step_ms_fused_pallas": (None if t_fused is None
+                                     else round(t_fused * 1e3, 3)),
             "step_ms_reference_style": round(t_naive * 1e3, 3),
             "batch": n, "frames": t, "joints": v, "channels": c,
             "blocks": blocks, "pallas_kernels": bool(kernels_available),

@@ -15,23 +15,27 @@ flow through a ``custom_vjp`` whose backward is derived from the oracle,
 so training with ``use_pallas=True`` is exact.
 
 Mosaic layout strategy (every primitive compile-verified on a real v5e via
-``scripts/probe_mosaic.py``):
+``scripts/probe_mosaic*.py``):
 
-  * joints are zero-padded to a sublane multiple (Vp = ceil(V/8)*8) so
-    ``(nb*T*Vp, C) <-> (nb*T, Vp, C)`` reshapes are tile-aligned;
-  * pairwise scores are built with unit-dim broadcasts
-    ``tanh(q[..., V, 1] - k[..., 1, V])`` (no gather/relayout);
-  * the frame/joint mixing contraction runs as a *batched* 3D
-    ``dot_general`` with the (n, src-node) pairs as the batch dim and the
-    R score channels folded into the contraction via a sublane concat;
-  * batch-axis reorientation (src-node-batched -> frame-batched) uses 4D
-    ``swapaxes(1, 2)`` with the lane dim unchanged — supported by Mosaic
-    (lane-dim merges/splits like ``(B, V, W) -> (B, V*W)`` are NOT, which
-    rules out the flat-pair-lane formulation);
-  * the K stacked kernels are folded into ONE aggregation matmul by
+  * joints (and, for the temporal op, frames) are zero-padded to sublane
+    multiples so row-group reshapes are tile-aligned;
+  * pairwise scores are constructed DIRECTLY in the layout the mixing
+    contraction wants — ``(n, a, b, src)`` with the (r, src) channels on
+    lanes — by transposing the tiny rank-1-lane q/k projections instead of
+    the big score tensor;
+  * the frame/joint mixing then collapses to ONE plain 2D matmul
+    ``(nb*A*B, R*S) @ (R*S, T_out)`` per stacked kernel: the batch merges
+    into the MXU M-dim through a tile-aligned reshape (large M amortizes
+    the small K/N dims; a batched dot_general here issues thousands of
+    tiny matmuls instead);
+  * the adjacency is re-batched for aggregation with one sublane<->lane
+    transpose + one major<->sublane transpose (both Mosaic-supported;
+    lane merges/splits like ``(B, V, W) -> (B, V*W)`` are NOT, which rules
+    out flat-pair-lane formulations);
+  * the K stacked kernels fold into ONE batched aggregation matmul by
     concatenating adjacencies on lanes and features on sublanes.
 
-Grid: one program per block of NB samples (default 2, override with
+Grid: one program per block of NB samples (default 4, override with
 ``DSTDGCN_FUSED_NB``); weights use constant index maps so Mosaic keeps
 them VMEM-resident across programs.
 """
@@ -43,7 +47,6 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops import dstd as oracle
 
@@ -75,9 +78,9 @@ def _interpret() -> bool:
 
 def _block_samples(n: int) -> int:
     env = os.environ.get("DSTDGCN_FUSED_NB")
-    prefer = int(env) if env else 2
-    for nb in (prefer, 2, 1):
-        if nb >= 1 and n % nb == 0:
+    prefer = int(env) if env else 4
+    for nb in (prefer, 4, 2, 1):
+        if 1 <= nb <= n and n % nb == 0:
             return nb
     return 1
 
@@ -91,10 +94,14 @@ def _pad_to(x, axis: int, size: int):
     return jnp.pad(x, widths)
 
 
-def _joint_mask(nb: int, t: int, vp: int, v_real: int):
-    """(nb*t*vp, 1) float mask that is 0 on zero-padded joint rows."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (nb * t * vp, 1), 0)
-    return jnp.where(rows % vp < v_real, 1.0, 0.0).astype(jnp.float32)
+def _row_mask(nrows: int, tp: int, vp: int, t_real: int, v_real: int):
+    """(nrows, 1) float mask, 0 on zero-padded joint/frame rows of the
+    flattened (n, t, v) row index."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0)
+    ok = rows % vp < v_real
+    if t_real < tp:
+        ok = jnp.logical_and(ok, (rows // vp) % tp < t_real)
+    return jnp.where(ok, 1.0, 0.0).astype(jnp.float32)
 
 
 def _project(x2, w_ref, b_ref, k):
@@ -102,20 +109,28 @@ def _project(x2, w_ref, b_ref, k):
     return y + b_ref[k]
 
 
+def _qk_cols(p, ri, nb, t, vp):
+    """(rows, R) projection -> (nb, node, 1, t) with frames on lanes."""
+    p4 = p[:, ri:ri + 1].reshape(nb, t, vp, 1)
+    return jnp.swapaxes(jnp.swapaxes(p4, 1, 2), 2, 3)     # (nb, vp, 1, t)
+
+
 def _spatial_kernel(x_ref, base_ref, alpha_ref, wf_ref, bf_ref, wm1_ref,
                     bm1_ref, wm2_ref, bm2_ref, wrm_ref, brm_ref, out_ref,
                     *, num_kernels: int, agg: str, v_real: int):
     """Spatial DSTD-GC: per-frame joint graph (reference dstdgcn.py:75-87).
 
-    x (nb, T, Vp, Ci) -> out (nb, T, Vp, Co).  wrm_ref is host-prepared as
-    (K, T_out, R*T_s); base_ref as (K, Vp, 1, Vp); brm_ref as (K, T, 1).
+    x (nb, T, Vp, Ci) -> out (nb, T, Vp, Co).  Host-prepared weights:
+    wrm (K, R*Ts, To); base (K, Vp_a, Vp_b, 1) already transposed so that
+    the kernel's (a, b) adjacency layout has b = the aggregation's
+    contracted side; brm (K, 1, 1, To).
     """
     nb, t, vp, cin = x_ref.shape
     co = out_ref.shape[-1]
     r = wm1_ref.shape[-1]
     x2 = x_ref[:].reshape(nb * t * vp, cin)
     alpha = alpha_ref[0, 0]
-    jmask = _joint_mask(nb, t, vp, v_real)
+    jmask = _row_mask(nb * t * vp, t, vp, t, v_real)
 
     xfs, adjs = [], []
     for k in range(num_kernels):
@@ -123,90 +138,83 @@ def _spatial_kernel(x_ref, base_ref, alpha_ref, wf_ref, bf_ref, wm1_ref,
         xfs.append(xf.reshape(nb * t, vp, co))
         q = _project(x2, wm1_ref, bm1_ref, k)
         kk = _project(x2, wm2_ref, bm2_ref, k)
-        # scores per reduction channel, re-batched over (n, src joint)
         svs = []
         for ri in range(r):
-            q4 = q[:, ri:ri + 1].reshape(nb, t, vp, 1)
-            k4 = jnp.swapaxes(kk[:, ri:ri + 1].reshape(nb, t, vp, 1), 2, 3)
-            s = jnp.tanh(q4 - k4)                      # (nb, Ts, v, w)
-            svs.append(jnp.swapaxes(s, 1, 2)           # (nb, v, Ts, w)
-                       .reshape(nb * vp, t, vp))
-        s_cat = jnp.concatenate(svs, axis=1)           # (nb*v, R*Ts, w)
-        # frame mixing on the MXU, batched over (n, v): one (To x R*Ts)
-        # @ (R*Ts x W) matmul per source joint
-        wb = jnp.broadcast_to(wrm_ref[k][None], (nb * vp, t, r * t))
-        dyn = jax.lax.dot_general(
-            wb, s_cat, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)        # (nb*v, To, w)
-        base_b = jnp.broadcast_to(base_ref[k][None], (nb, vp, 1, vp)) \
-            .reshape(nb * vp, 1, vp)
-        adj = (dyn + brm_ref[k][None]) * alpha + base_b
+            qv = _qk_cols(q, ri, nb, t, vp)              # (nb, v, 1, Ts)
+            kv = _qk_cols(kk, ri, nb, t, vp)             # (nb, w, 1, Ts)
+            # scores in (n, a, b, src-frame) layout, b = contracted side:
+            # agg "right" contracts the q-side joints (a=w, b=v), "left"
+            # the k-side (a=v, b=w) — dstdgcn.py:87 / dstdgcn_fast.py:125
+            if agg == "right":
+                s = jnp.tanh(jnp.swapaxes(qv, 1, 2) - kv)
+            else:
+                s = jnp.tanh(qv - jnp.swapaxes(kv, 1, 2))
+            svs.append(s)                                # (nb, a, b, Ts)
+        s_cat = svs[0] if r == 1 else jnp.concatenate(svs, axis=3)
+        # ONE flat mixing matmul: (nb*A*B, R*Ts) @ (R*Ts, To)
+        dyn = jnp.dot(s_cat.reshape(nb * vp * vp, r * t), wrm_ref[k],
+                      preferred_element_type=jnp.float32)
+        adj = dyn.reshape(nb, vp, vp, t)
+        adj = (adj + brm_ref[k]) * alpha + base_ref[k][None]
         # re-batch over (n, frame) for the per-frame aggregation
-        adj_b = jnp.swapaxes(adj.reshape(nb, vp, t, vp), 1, 2) \
-            .reshape(nb * t, vp, vp)
-        if agg == "right":
-            # out[w, c] = sum_v adj[v, w] xf[v, c]  (dstdgcn.py:87)
-            adj_b = jnp.swapaxes(adj_b, 1, 2)
-        adjs.append(adj_b)
+        adj = jnp.swapaxes(jnp.swapaxes(adj, 2, 3), 1, 2)  # (nb, To, a, b)
+        adjs.append(adj.reshape(nb * t, vp, vp))
     # fold the K stacked kernels into one batched matmul: adjacencies on
     # lanes, features on sublanes
     adj_cat = adjs[0] if num_kernels == 1 else jnp.concatenate(adjs, axis=2)
     xf_cat = xfs[0] if num_kernels == 1 else jnp.concatenate(xfs, axis=1)
     out = jax.lax.dot_general(
         adj_cat, xf_cat, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)            # (nb*T, Vp, Co)
+        preferred_element_type=jnp.float32)              # (nb*T, Vp, Co)
     out = out.reshape(nb * t * vp, co) * jmask
     out_ref[:] = out.reshape(nb, t, vp, co)
 
 
 def _temporal_kernel(x_ref, base_ref, alpha_ref, wf_ref, bf_ref, wm1_ref,
                      bm1_ref, wm2_ref, bm2_ref, wrm_ref, brm_ref, out_ref,
-                     *, num_kernels: int, agg: str, v_real: int):
+                     *, num_kernels: int, agg: str, v_real: int,
+                     t_real: int):
     """Temporal DSTD-GC: per-joint frame graph (reference dstdgcn.py:89-93).
 
-    x (nb, T, Vp, Ci) -> out (nb, T, Vp, Co).  wrm_ref is host-prepared as
-    (K, Wp, R*Vp) with zero rows/cols for padded joints; base_ref as
-    (K, T, 1, T); brm_ref as (K, Vp, 1).
+    x (nb, Tp, Vp, Ci) -> out (nb, Tp, Vp, Co), frames AND joints padded.
+    Host-prepared weights: wrm (K, R*Vp, Wp) with zero rows/cols for
+    padded joints; base (K, Tp, Tp, 1); brm (K, 1, 1, Wp).
     """
-    nb, t, vp, cin = x_ref.shape
+    nb, tp, vp, cin = x_ref.shape
     co = out_ref.shape[-1]
     r = wm1_ref.shape[-1]
-    x2 = x_ref[:].reshape(nb * t * vp, cin)
+    x2 = x_ref[:].reshape(nb * tp * vp, cin)
     alpha = alpha_ref[0, 0]
-    jmask = _joint_mask(nb, t, vp, v_real)
+    mask = _row_mask(nb * tp * vp, tp, vp, t_real, v_real)
 
     xfs, adjs = [], []
     for k in range(num_kernels):
-        xf = _project(x2, wf_ref, bf_ref, k) * jmask
+        xf = _project(x2, wf_ref, bf_ref, k) * mask
         # features batched over (n, joint) for the per-joint aggregation
-        xf_v = jnp.swapaxes(xf.reshape(nb, t, vp, co), 1, 2) \
-            .reshape(nb * vp, t, co)
+        xf_v = jnp.swapaxes(xf.reshape(nb, tp, vp, co), 1, 2) \
+            .reshape(nb * vp, tp, co)
         xfs.append(xf_v)
         q = _project(x2, wm1_ref, bm1_ref, k)
         kk = _project(x2, wm2_ref, bm2_ref, k)
-        # frame-pair scores per joint, re-batched over (n, q-frame)
         svs = []
         for ri in range(r):
-            q5 = jnp.swapaxes(q[:, ri:ri + 1].reshape(nb, t, vp, 1), 1, 2) \
-                .reshape(nb * vp, t, 1)
-            k5 = jnp.swapaxes(kk[:, ri:ri + 1].reshape(nb, t, vp, 1), 1, 2) \
-                .reshape(nb * vp, t, 1)
-            s = jnp.tanh(q5 - jnp.swapaxes(k5, 1, 2))  # (nb*v, Tt, Tu)
-            svs.append(jnp.swapaxes(s.reshape(nb, vp, t, t), 1, 2)
-                       .reshape(nb * t, vp, t))        # (nb*Tt, v', Tu)
-        s_cat = jnp.concatenate(svs, axis=1)           # (nb*Tt, R*Vp, Tu)
-        # joint mixing on the MXU, batched over (n, t): (Wp x R*Vp)
-        # @ (R*Vp x Tu); padded joints are killed by zero wrm rows/cols
-        wb = jnp.broadcast_to(wrm_ref[k][None], (nb * t, vp, r * vp))
-        dyn = jax.lax.dot_general(
-            wb, s_cat, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)        # (nb*Tt, Wp, Tu)
-        base_b = jnp.broadcast_to(base_ref[k][None], (nb, t, 1, t)) \
-            .reshape(nb * t, 1, t)
-        adj = (dyn + brm_ref[k][None]) * alpha + base_b
-        # re-batch over (n, joint) for the per-joint aggregation
-        adj_v = jnp.swapaxes(adj.reshape(nb, t, vp, t), 1, 2) \
-            .reshape(nb * vp, t, t)
+            # frame-pair scores in (n, t_q, u_k, joint) layout: the score
+            # joints land on lanes so the joint mixing is one flat matmul
+            q4 = q[:, ri:ri + 1].reshape(nb, tp, vp, 1)
+            k4 = kk[:, ri:ri + 1].reshape(nb, tp, vp, 1)
+            qt = jnp.swapaxes(q4, 2, 3)                  # (nb, Tq, 1, vp)
+            kt = jnp.swapaxes(jnp.swapaxes(k4, 2, 3), 1, 2)  # (nb,1,Tu,vp)
+            svs.append(jnp.tanh(qt - kt))                # (nb, Tq, Tu, vp)
+        s_cat = svs[0] if r == 1 else jnp.concatenate(svs, axis=3)
+        # ONE flat mixing matmul: (nb*Tq*Tu, R*Vp) @ (R*Vp, Wp); padded
+        # score joints are killed by the zero wrm rows
+        dyn = jnp.dot(s_cat.reshape(nb * tp * tp, r * vp), wrm_ref[k],
+                      preferred_element_type=jnp.float32)
+        adj = dyn.reshape(nb, tp, tp, vp)
+        adj = (adj + brm_ref[k]) * alpha + base_ref[k][None]
+        # re-batch over (n, joint): (nb, t, u, w) -> (nb, w, t, u)
+        adj = jnp.swapaxes(jnp.swapaxes(adj, 2, 3), 1, 2)
+        adj_v = adj.reshape(nb * vp, tp, tp)
         if agg == "right":
             # out[u, c] = sum_t adj[t, u] xf[t, c]  (dstdgcn.py:93)
             adj_v = jnp.swapaxes(adj_v, 1, 2)
@@ -215,39 +223,44 @@ def _temporal_kernel(x_ref, base_ref, alpha_ref, wf_ref, bf_ref, wm1_ref,
     xf_cat = xfs[0] if num_kernels == 1 else jnp.concatenate(xfs, axis=1)
     out_v = jax.lax.dot_general(
         adj_cat, xf_cat, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)            # (nb*Vp, T, Co)
-    out = jnp.swapaxes(out_v.reshape(nb, vp, t, co), 1, 2)
-    out = out.reshape(nb * t * vp, co) * jmask
-    out_ref[:] = out.reshape(nb, t, vp, co)
+        preferred_element_type=jnp.float32)              # (nb*Vp, Tp, Co)
+    out = jnp.swapaxes(out_v.reshape(nb, vp, tp, co), 1, 2)
+    out = out.reshape(nb * tp * vp, co) * mask
+    out_ref[:] = out.reshape(nb, tp, vp, co)
 
 
-def _prep_spatial(base, wrm, brm, vp):
+def _prep_spatial(base, wrm, brm, vp, tp, agg):
     k, rr, t, _ = wrm.shape
-    wrm_t = jnp.transpose(wrm, (0, 3, 1, 2)).reshape(k, t, rr * t)
-    base_p = _pad_to(_pad_to(base, 1, vp), 2, vp)[:, :, None, :]
-    return base_p, wrm_t, brm[:, :, None]
+    wrm2 = wrm.reshape(k, rr * t, t)
+    base_p = _pad_to(_pad_to(base, 1, vp), 2, vp)
+    if agg == "right":
+        base_p = jnp.swapaxes(base_p, 1, 2)   # (a=w, b=v) kernel layout
+    return base_p[..., None], wrm2, brm[:, None, None, :]
 
 
-def _prep_temporal(base, wrm, brm, vp):
+def _prep_temporal(base, wrm, brm, vp, tp, agg):
     k, rr, v, w = wrm.shape
     wrm_p = _pad_to(_pad_to(wrm, 2, vp), 3, vp)
-    wrm_t = jnp.transpose(wrm_p, (0, 3, 1, 2)).reshape(k, vp, rr * vp)
-    base_p = base[:, :, None, :]
-    brm_p = _pad_to(brm, 1, vp)[:, :, None]
-    return base_p, wrm_t, brm_p
+    wrm2 = wrm_p.reshape(k, rr * vp, vp)
+    base_p = _pad_to(_pad_to(base, 1, tp), 2, tp)[..., None]
+    brm_p = _pad_to(brm, 1, vp)[:, None, None, :]
+    return base_p, wrm2, brm_p
 
 
-def _pallas_forward(kernel_body, prep, x, base, alpha, wf, bf, wm1, bm1,
-                    wm2, bm2, wrm, brm, agg: str):
+def _pallas_forward(kernel_body, prep, pad_t, x, base, alpha, wf, bf, wm1,
+                    bm1, wm2, bm2, wrm, brm, agg: str):
     n, t, v, cin = x.shape
     k = wf.shape[0]
     co = wf.shape[-1]
     vp = -(-v // 8) * 8
+    tp = -(-t // 8) * 8 if pad_t else t
     nb = _block_samples(n)
-    x_p = _pad_to(x.astype(jnp.float32), 2, vp)
-    base_p, wrm_t, brm_p = prep(base, wrm, brm, vp)
+    x_p = _pad_to(_pad_to(x.astype(jnp.float32), 2, vp), 1, tp)
+    base_p, wrm2, brm_p = prep(base, wrm, brm, vp, tp, agg)
     alpha_arr = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
     bf2, bm12, bm22 = bf[:, None, :], bm1[:, None, :], bm2[:, None, :]
+
+    extra = dict(t_real=t) if pad_t else {}
 
     def vmem_full(a):
         nd = a.ndim
@@ -255,24 +268,25 @@ def _pallas_forward(kernel_body, prep, x, base, alpha, wf, bf, wm1, bm1,
                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(kernel_body, num_kernels=k, agg=agg, v_real=v),
-        out_shape=jax.ShapeDtypeStruct((n, t, vp, co), jnp.float32),
+        functools.partial(kernel_body, num_kernels=k, agg=agg, v_real=v,
+                          **extra),
+        out_shape=jax.ShapeDtypeStruct((n, tp, vp, co), jnp.float32),
         grid=(n // nb,),
         in_specs=[
-            pl.BlockSpec((nb, t, vp, cin), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((nb, tp, vp, cin), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             vmem_full(base_p), vmem_full(alpha_arr), vmem_full(wf),
             vmem_full(bf2), vmem_full(wm1), vmem_full(bm12), vmem_full(wm2),
-            vmem_full(bm22), vmem_full(wrm_t), vmem_full(brm_p),
+            vmem_full(bm22), vmem_full(wrm2), vmem_full(brm_p),
         ],
-        out_specs=pl.BlockSpec((nb, t, vp, co), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((nb, tp, vp, co), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(x_p, base_p, alpha_arr, wf, bf2, wm1, bm12, wm2, bm22, wrm_t, brm_p)
-    return out[:, :, :v, :]
+    )(x_p, base_p, alpha_arr, wf, bf2, wm1, bm12, wm2, bm22, wrm2, brm_p)
+    return out[:, :t, :v, :]
 
 
-def _make_op(kernel_body, prep, oracle_fn):
+def _make_op(kernel_body, prep, pad_t, oracle_fn):
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
     def op(x, base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
@@ -280,8 +294,8 @@ def _make_op(kernel_body, prep, oracle_fn):
         if mask is not None or not available():
             return oracle_fn(x, base, alpha, wf, bf, wm1, bm1, wm2, bm2,
                              wrm, brm, mask, agg)
-        return _pallas_forward(kernel_body, prep, x, base, alpha, wf, bf,
-                               wm1, bm1, wm2, bm2, wrm, brm, agg)
+        return _pallas_forward(kernel_body, prep, pad_t, x, base, alpha,
+                               wf, bf, wm1, bm1, wm2, bm2, wrm, brm, agg)
 
     def fwd(x, base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm, mask, agg):
         out = op(x, base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
@@ -299,6 +313,7 @@ def _make_op(kernel_body, prep, oracle_fn):
     return op
 
 
-dstd_spatial = _make_op(_spatial_kernel, _prep_spatial, oracle.dstd_spatial)
-dstd_temporal = _make_op(_temporal_kernel, _prep_temporal,
+dstd_spatial = _make_op(_spatial_kernel, _prep_spatial, False,
+                        oracle.dstd_spatial)
+dstd_temporal = _make_op(_temporal_kernel, _prep_temporal, True,
                          oracle.dstd_temporal)

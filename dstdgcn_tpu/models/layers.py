@@ -115,7 +115,7 @@ class PReLU(nn.Module):
     def __call__(self, x: Array) -> Array:
         a = self.param("negative_slope",
                        lambda key: jnp.asarray(self.init, jnp.float32))
-        return jnp.where(x >= 0, x, a * x)
+        return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
 
 
 class DSTDGC(nn.Module):
@@ -219,11 +219,14 @@ class DSTDGCB(nn.Module):
         alpha_tm = self.param("alpha_tm", nn.initializers.zeros, (1,),
                               jnp.float32)
 
+        act_dtype = (jnp.float32 if self.compute_dtype is None
+                     else jnp.dtype(self.compute_dtype))
         cin, co = x.shape[-1], self.out_channels
         if cin != co:
             res = nn.Dense(co, kernel_init=kaiming_out(co),
                            name="residual_proj")(x)
             res = JointBatchNorm(axis_name=self.bn_axis_name,
+                                 dtype=act_dtype,
                                  name="residual_bn")(res, train=train)
         else:
             res = x
@@ -233,8 +236,8 @@ class DSTDGCB(nn.Module):
                    mode="spatial", agg=agg, use_pallas=self.use_pallas,
                    compute_dtype=self.compute_dtype,
                    name="spatial")(x, base_s, alpha_sm)
-        y = JointBatchNorm(axis_name=self.bn_axis_name, name="bn")(
-            y, train=train)
+        y = JointBatchNorm(axis_name=self.bn_axis_name, dtype=act_dtype,
+                           name="bn")(y, train=train)
         y = y + res
         y = PReLU(name="prelu")(y)
 

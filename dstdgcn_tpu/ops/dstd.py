@@ -57,6 +57,14 @@ def _cast(x: jnp.ndarray, dtype) -> jnp.ndarray:
     return x if dtype is None else x.astype(dtype)
 
 
+def _cast_dot(x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Like _cast, but stays f32 on the CPU backend: XLA:CPU's DotThunk
+    cannot execute bf16 x bf16 -> f32 contractions for some shapes."""
+    if dtype is not None and jax.default_backend() == "cpu":
+        return x.astype(jnp.float32)
+    return _cast(x, dtype)
+
+
 def _project(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
              dtype=None) -> jnp.ndarray:
     """(N,T,V,Ci) x (K,Ci,Co) -> (K,N,T,V,Co); one MXU matmul per kernel.
@@ -92,12 +100,28 @@ def dyn_adjacency_spatial(x: jnp.ndarray, wm1, bm1, wm2, bm2, wrm, brm,
     x (N,T,V,C) -> (K,N,T,V,V).  Reference dstdgcn.py:82-86: project to R
     channels, all-pairs tanh difference over joints, then mix the (R, T)
     score channels into each output frame with ``wrm``.
+
+    TPU layout note: the projections are emitted as (K, N, R*T, V) with
+    joints on the minor (lane) dim.  The natural (..., V, R) layout pads
+    R=2 to a 128-lane tile — a 64x HBM traffic inflation that dominates
+    the whole op (measured in scripts/profile_components.py); V-minor
+    reduces the padding to ceil(V/128).
     """
-    q = _project(x, wm1, bm1, dtype)                  # (K,N,T,V,R)
-    k = _project(x, wm2, bm2, dtype)
-    # scores[k,n,s,r,v,w] = tanh(q[k,n,s,v,r] - k[k,n,s,w,r])
-    s = _cast(sddmm_pairwise_tanh(q, k, mask), dtype)  # (K,N,T,R,V,V)
-    dyn = jnp.einsum("knsrvw,krst->kntvw", s, _cast(wrm, dtype),
+    kk, rr = wm1.shape[0], wm1.shape[-1]
+    q = jnp.einsum("ntvc,kcr->knrtv", _cast(x, dtype), _cast(wm1, dtype),
+                   preferred_element_type=jnp.float32) \
+        + bm1[:, None, :, None, None]
+    k = jnp.einsum("ntvc,kcr->knrtv", _cast(x, dtype), _cast(wm2, dtype),
+                   preferred_element_type=jnp.float32) \
+        + bm2[:, None, :, None, None]
+    nn, tt, vv = x.shape[0], x.shape[1], x.shape[2]
+    q = _cast(q, dtype).reshape(kk, nn, rr * tt, vv)
+    k = _cast(k, dtype).reshape(kk, nn, rr * tt, vv)
+    s = jnp.tanh(q[..., :, None] - k[..., None, :])    # (K,N,R*T,V,W)
+    if mask is not None:
+        s = s * mask
+    dyn = jnp.einsum("knsvw,kst->kntvw", _cast_dot(s, dtype),
+                     _cast_dot(wrm.reshape(kk, rr * tt, tt), dtype),
                      preferred_element_type=jnp.float32)
     return dyn + brm[:, None, :, None, None]
 
@@ -109,13 +133,25 @@ def dyn_adjacency_temporal(x: jnp.ndarray, wm1, bm1, wm2, bm2, wrm, brm,
 
     x (N,T,V,C) -> (K,N,V,T,T).  Reference dstdgcn.py:89-92: pairwise tanh
     over frames, mixing the (R, V) score channels into each output joint.
+
+    Projections are emitted frames-minor as (K, N, R*V, T) — see the
+    spatial variant for why.
     """
-    q = _project(x, wm1, bm1, dtype)                  # (K,N,T,V,R)
-    k = _project(x, wm2, bm2, dtype)
-    qt = jnp.swapaxes(q, 2, 3)                        # (K,N,V,T,R)
-    kt = jnp.swapaxes(k, 2, 3)
-    s = _cast(sddmm_pairwise_tanh(qt, kt, mask), dtype)  # (K,N,V,R,T,T)
-    dyn = jnp.einsum("knvrtu,krvw->knwtu", s, _cast(wrm, dtype),
+    kk, rr = wm1.shape[0], wm1.shape[-1]
+    q = jnp.einsum("ntvc,kcr->knrvt", _cast(x, dtype), _cast(wm1, dtype),
+                   preferred_element_type=jnp.float32) \
+        + bm1[:, None, :, None, None]
+    k = jnp.einsum("ntvc,kcr->knrvt", _cast(x, dtype), _cast(wm2, dtype),
+                   preferred_element_type=jnp.float32) \
+        + bm2[:, None, :, None, None]
+    nn, tt, vv = x.shape[0], x.shape[1], x.shape[2]
+    q = _cast(q, dtype).reshape(kk, nn, rr * vv, tt)
+    k = _cast(k, dtype).reshape(kk, nn, rr * vv, tt)
+    s = jnp.tanh(q[..., :, None] - k[..., None, :])    # (K,N,R*V,T,U)
+    if mask is not None:
+        s = s * mask
+    dyn = jnp.einsum("knstu,ksw->knwtu", _cast_dot(s, dtype),
+                     _cast_dot(wrm.reshape(kk, rr * vv, vv), dtype),
                      preferred_element_type=jnp.float32)
     return dyn + brm[:, None, :, None, None]
 
@@ -134,7 +170,7 @@ def aggregate_spatial(xf: jnp.ndarray, adj: jnp.ndarray,
     """
     eq = "kntvc,kntvw->ntwc" if agg == "right" else "kntvw,kntwc->ntvc"
     a, b = (xf, adj) if agg == "right" else (adj, xf)
-    return jnp.einsum(eq, _cast(a, dtype), _cast(b, dtype),
+    return jnp.einsum(eq, _cast_dot(a, dtype), _cast_dot(b, dtype),
                       preferred_element_type=jnp.float32)
 
 
@@ -149,7 +185,7 @@ def aggregate_temporal(xf: jnp.ndarray, adj: jnp.ndarray,
     out[n,t,v,c] = sum_{k,u} adj[k,n,v,t,u] * xf[k,n,u,v,c]
     (dstdgcn_fast.py:145-146).
     """
-    xf, adj = _cast(xf, dtype), _cast(adj, dtype)
+    xf, adj = _cast_dot(xf, dtype), _cast_dot(adj, dtype)
     if agg == "right":
         return jnp.einsum("kntvc,knvtu->nuvc", xf, adj,
                           preferred_element_type=jnp.float32)
@@ -169,10 +205,16 @@ def dstd_spatial(x: jnp.ndarray, base_adj: jnp.ndarray, alpha: jnp.ndarray,
     precision (bf16 inputs, f32 accumulation); params/outputs stay f32.
     """
     x = _constrain(x)
-    xf = _project(x, wf, bf, dtype)                   # (K,N,T,V,Co)
+    xf = _cast(_project(x, wf, bf, dtype), dtype)     # (K,N,T,V,Co)
     dyn = dyn_adjacency_spatial(x, wm1, bm1, wm2, bm2, wrm, brm, mask, dtype)
-    adj = dyn * alpha + base_adj[:, None, None, :, :]
-    return _constrain(aggregate_spatial(xf, adj, agg, dtype))
+    # keep the adjacency in the compute dtype end-to-end: casting inside
+    # aggregate instead would materialize it twice (f32 + bf16) in HBM
+    adj = _cast(dyn, dtype) * _cast(jnp.asarray(alpha), dtype) \
+        + _cast(base_adj, dtype)[:, None, None, :, :]
+    out = aggregate_spatial(xf, adj, agg, dtype)
+    # mixed-precision activation flow: emit the compute dtype so chained
+    # ops move half the HBM bytes (accumulation stayed f32 above)
+    return _constrain(out if dtype is None else out.astype(dtype))
 
 
 def dstd_temporal(x: jnp.ndarray, base_adj: jnp.ndarray, alpha: jnp.ndarray,
@@ -184,8 +226,10 @@ def dstd_temporal(x: jnp.ndarray, base_adj: jnp.ndarray, alpha: jnp.ndarray,
     x (N,T,V,Ci), base_adj (K,T,T) static part -> (N,T,V,Co).
     """
     x = _constrain(x)
-    xf = _project(x, wf, bf, dtype)                   # (K,N,T,V,Co)
+    xf = _cast(_project(x, wf, bf, dtype), dtype)     # (K,N,T,V,Co)
     dyn = dyn_adjacency_temporal(x, wm1, bm1, wm2, bm2, wrm, brm, mask,
                                  dtype)
-    adj = dyn * alpha + base_adj[:, None, None, :, :]
-    return _constrain(aggregate_temporal(xf, adj, agg, dtype))
+    adj = _cast(dyn, dtype) * _cast(jnp.asarray(alpha), dtype) \
+        + _cast(base_adj, dtype)[:, None, None, :, :]
+    out = aggregate_temporal(xf, adj, agg, dtype)
+    return _constrain(out if dtype is None else out.astype(dtype))

@@ -61,7 +61,7 @@ def main():
                   wrm=mk(1, r, v, v), brm=mk(1, v))
 
     res = {"fused_available": fused.available(),
-           "nb": int(os.environ.get("DSTDGCN_FUSED_NB", "2"))}
+           "nb": int(os.environ.get("DSTDGCN_FUSED_NB", "4"))}
 
     for name, fn_f, fn_o, aa in (
             ("spatial", fused.dstd_spatial, ops.dstd_spatial, args_s),
