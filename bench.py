@@ -118,16 +118,17 @@ def _naive_params(rng, num_blocks, c, t, v, k_s=2, k_t=1):
     return out
 
 
-def stacked_forward(params_list, x_ntvc, use_fused=False, dtype=None):
+def stacked_forward(params_list, x_ntvc, use_fused=False, dtype=None,
+                    pair_flat=False):
     """Our TPU-first path: stacked-kernel contractions — XLA einsum
-    formulation (ops.dstd, optionally with bf16 activation flow) or the
-    fused whole-op Pallas kernels."""
+    formulation (ops.dstd, optionally with bf16 activation flow and/or
+    flat pair-lane score layout) or the fused whole-op Pallas kernels."""
     if use_fused:
         from dstdgcn_tpu.kernels import fused as ops
         kw = {}
     else:
         from dstdgcn_tpu.ops import dstd as ops
-        kw = {"dtype": dtype}
+        kw = {"dtype": dtype, "pair_flat": pair_flat}
 
     import jax.numpy as jnp
 
@@ -248,6 +249,10 @@ def main():
     t_bf16 = _time_looped(
         lambda xx: stacked_forward(params, xx, dtype=jnp.bfloat16),
         x_ntvc, iters=30)
+    t_flat16 = _time_looped(
+        lambda xx: stacked_forward(params, xx, dtype=jnp.bfloat16,
+                                   pair_flat=True),
+        x_ntvc, iters=30)
     t_fused = None
     if kernels_available:
         try:
@@ -256,7 +261,8 @@ def main():
                 x_ntvc, iters=30)
         except Exception:
             t_fused = None
-    t_ours = min([t for t in (t_xla, t_bf16, t_fused) if t is not None])
+    t_ours = min([t for t in (t_xla, t_bf16, t_flat16, t_fused)
+                  if t is not None])
 
     edges = _edges_per_forward(n, t, v, blocks)
     eps_ours = edges / t_ours
@@ -276,6 +282,7 @@ def main():
             "step_ms_ours": round(t_ours * 1e3, 3),
             "step_ms_xla": round(t_xla * 1e3, 3),
             "step_ms_xla_bf16": round(t_bf16 * 1e3, 3),
+            "step_ms_xla_flat_bf16": round(t_flat16 * 1e3, 3),
             "step_ms_fused_pallas": (None if t_fused is None
                                      else round(t_fused * 1e3, 3)),
             "step_ms_reference_style": round(t_naive * 1e3, 3),

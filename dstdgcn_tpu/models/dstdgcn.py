@@ -43,6 +43,7 @@ class DSTDGCN(nn.Module):
     fast: bool = False
     bn_axis_name: Optional[str] = None
     use_pallas: bool = False
+    pair_flat: bool = False
     #: e.g. "bfloat16": MXU-native mixed precision for the DSTD contractions
     #: (bf16 inputs, f32 accumulation); params and outputs stay f32
     compute_dtype: Optional[str] = None
@@ -62,7 +63,8 @@ class DSTDGCN(nn.Module):
         common = dict(time_dim=tt, joints_dim=v, layout=self.layout,
                       fast=self.fast, bn_axis_name=self.bn_axis_name,
                       use_pallas=self.use_pallas,
-                      compute_dtype=self.compute_dtype, refine=True)
+                      compute_dtype=self.compute_dtype,
+                      pair_flat=self.pair_flat, refine=True)
 
         h = STGCNNLayer(out_channels=self.num_feature, residual=False,
                         name="conv_st_in", **common)(h, train=train)
@@ -102,7 +104,7 @@ def get_model(name: str, **opts: Any) -> DSTDGCN:
     for k in ("name", "load", "ckpt"):
         kwargs.pop(k, None)
     kwargs.update(_REGISTRY[name])
-    for k in ("bn_axis_name", "use_pallas", "compute_dtype"):
+    for k in ("bn_axis_name", "use_pallas", "compute_dtype", "pair_flat"):
         if k in opts:
             kwargs[k] = opts[k]
     return DSTDGCN(**kwargs)

@@ -134,6 +134,7 @@ class DSTDGC(nn.Module):
     agg: str = "right"      # "right"=qualitative, "left"=fast variant
     use_pallas: bool = False
     compute_dtype: Optional[str] = None   # e.g. "bfloat16" (f32 accum)
+    pair_flat: bool = False  # flat (P*P)-lane score layout (ops.dstd)
 
     @nn.compact
     def __call__(self, x: Array, base_adj: Array, alpha: Array,
@@ -161,7 +162,7 @@ class DSTDGC(nn.Module):
         dtype = (None if self.compute_dtype is None
                  else jnp.dtype(self.compute_dtype))
         fn = ops.dstd_spatial if self.mode == "spatial" else ops.dstd_temporal
-        return fn(*args, agg=self.agg, dtype=dtype)
+        return fn(*args, agg=self.agg, dtype=dtype, pair_flat=self.pair_flat)
 
 
 class DSTDGCB(nn.Module):
@@ -195,6 +196,7 @@ class DSTDGCB(nn.Module):
     bn_axis_name: Optional[str] = None
     use_pallas: bool = False
     compute_dtype: Optional[str] = None
+    pair_flat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
@@ -235,6 +237,7 @@ class DSTDGCB(nn.Module):
         y = DSTDGC(out_channels=co, ref_len=self.time_dim, num_kernels=ks,
                    mode="spatial", agg=agg, use_pallas=self.use_pallas,
                    compute_dtype=self.compute_dtype,
+                   pair_flat=self.pair_flat,
                    name="spatial")(x, base_s, alpha_sm)
         y = JointBatchNorm(axis_name=self.bn_axis_name, dtype=act_dtype,
                            name="bn")(y, train=train)
@@ -244,6 +247,7 @@ class DSTDGCB(nn.Module):
         z = DSTDGC(out_channels=co, ref_len=self.joint_dim, num_kernels=kt,
                    mode="temporal", agg=agg, use_pallas=self.use_pallas,
                    compute_dtype=self.compute_dtype,
+                   pair_flat=self.pair_flat,
                    name="temporal")(y, base_t, alpha_tm)
         return z
 
@@ -290,6 +294,7 @@ class STGCNNLayer(nn.Module):
     bn_axis_name: Optional[str] = None
     use_pallas: bool = False
     compute_dtype: Optional[str] = None
+    pair_flat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
@@ -307,7 +312,8 @@ class STGCNNLayer(nn.Module):
                         joint_dim=self.joints_dim, layout=self.layout,
                         fast=self.fast, bn_axis_name=self.bn_axis_name,
                         use_pallas=self.use_pallas,
-                        compute_dtype=self.compute_dtype, name="block")(
+                        compute_dtype=self.compute_dtype,
+                        pair_flat=self.pair_flat, name="block")(
                             x, train=train)
         else:
             y = ConvTemporalGraphical(self.time_dim, self.joints_dim,

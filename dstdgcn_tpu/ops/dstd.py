@@ -193,24 +193,87 @@ def aggregate_temporal(xf: jnp.ndarray, adj: jnp.ndarray,
                       preferred_element_type=jnp.float32)
 
 
+def _dyn_adjacency_flat(x, wm1, bm1, wm2, bm2, wrm, brm, mask, dtype,
+                        pair: str) -> jnp.ndarray:
+    """Shared flat-pair dynamic-adjacency core.
+
+    ``pair="vv"`` (spatial): scores over joint pairs per source frame,
+    mixed into output frames -> (K, N, T, V*V).
+    ``pair="tt"`` (temporal): scores over frame pairs per source joint,
+    mixed into output joints -> (K, N, V, T*T).
+
+    Rationale (TPU layout): the grid formulations materialize the score
+    tensor and dyn with a tiny minor dim (V=22 or T=35), which XLA:TPU
+    tiles to (8,128) — a 3.7-5.8x HBM inflation that dominates the op
+    (scripts/profile_components.py).  Keeping the pair dim FLAT (V*V=484
+    or T*T=1225 on lanes) makes every big intermediate ~fully packed; only
+    the final adjacency reshape before aggregation pays the padded layout,
+    once.  Semantics identical to the grid functions (golden-tested).
+
+    Measured on a v5e (scripts/probe_flat.py, 7-block chain, N=128):
+    grid f32 7.63 ms / flat f32 8.20 ms / flat bf16 7.20 ms — i.e. the
+    chain is NOT bound by the padded score traffic (XLA overlaps it); the
+    dominant cost is the per-(sample,frame) batched tiny-GEMM aggregation,
+    which XLA already packs near the MXU weight-load floor.  The flat
+    layout is kept as a config choice because it wins in bf16 and on
+    larger graphs (pair dims closer to lane multiples).
+    """
+    kk, rr = wm1.shape[0], wm1.shape[-1]
+    nn, tt, vv = x.shape[0], x.shape[1], x.shape[2]
+    out_eq = "knsp,kst->kntp" if pair == "vv" else "knsp,ksw->knwp"
+    lay = "knrtv" if pair == "vv" else "knrvt"
+    q = jnp.einsum(f"ntvc,kcr->{lay}", _cast(x, dtype), _cast(wm1, dtype),
+                   preferred_element_type=jnp.float32) \
+        + bm1[:, None, :, None, None]
+    k = jnp.einsum(f"ntvc,kcr->{lay}", _cast(x, dtype), _cast(wm2, dtype),
+                   preferred_element_type=jnp.float32) \
+        + bm2[:, None, :, None, None]
+    p = vv if pair == "vv" else tt
+    ss = rr * (tt if pair == "vv" else vv)
+    q = _cast(q, dtype).reshape(kk, nn, ss, p)
+    k = _cast(k, dtype).reshape(kk, nn, ss, p)
+    s = jnp.tanh(q[..., :, None] - k[..., None, :])    # (K,N,S,P,P)
+    if mask is not None:
+        s = s * mask
+    s = s.reshape(kk, nn, ss, p * p)                   # flat pair lanes
+    wrm2 = wrm.reshape(kk, ss, wrm.shape[-1])
+    dyn = jnp.einsum(out_eq, _cast_dot(s, dtype), _cast_dot(wrm2, dtype),
+                     preferred_element_type=jnp.float32)
+    return dyn + brm[:, None, :, None]                 # (K,N,To|Wo,P*P)
+
+
 def dstd_spatial(x: jnp.ndarray, base_adj: jnp.ndarray, alpha: jnp.ndarray,
                  wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
                  mask: jnp.ndarray | None = None,
-                 agg: str = "right", dtype=None) -> jnp.ndarray:
+                 agg: str = "right", dtype=None,
+                 pair_flat: bool = False) -> jnp.ndarray:
     """Full spatial DSTD-GC over K stacked kernels.
 
     x (N,T,V,Ci), base_adj (K,V,V) static part -> (N,T,V,Co).
     effective adjacency = dyn * alpha + base (dstdgcn.py:86).
     ``dtype=jnp.bfloat16`` runs the contractions in MXU-native mixed
     precision (bf16 inputs, f32 accumulation); params/outputs stay f32.
+    ``pair_flat=True`` computes scores/dyn/adjacency-assembly in the flat
+    (V*V)-lane layout (see _dyn_adjacency_flat) and reshapes to the pair
+    grid only at the aggregation boundary.
     """
     x = _constrain(x)
+    nn, tt, vv = x.shape[0], x.shape[1], x.shape[2]
+    kk = wm1.shape[0]
     xf = _cast(_project(x, wf, bf, dtype), dtype)     # (K,N,T,V,Co)
-    dyn = dyn_adjacency_spatial(x, wm1, bm1, wm2, bm2, wrm, brm, mask, dtype)
-    # keep the adjacency in the compute dtype end-to-end: casting inside
-    # aggregate instead would materialize it twice (f32 + bf16) in HBM
-    adj = _cast(dyn, dtype) * _cast(jnp.asarray(alpha), dtype) \
-        + _cast(base_adj, dtype)[:, None, None, :, :]
+    if pair_flat:
+        dynf = _dyn_adjacency_flat(x, wm1, bm1, wm2, bm2, wrm, brm,
+                                   mask, dtype, "vv")
+        adjf = _cast(dynf, dtype) * _cast(jnp.asarray(alpha), dtype) \
+            + _cast(base_adj, dtype).reshape(kk, 1, 1, vv * vv)
+        adj = adjf.reshape(kk, nn, tt, vv, vv)
+    else:
+        dyn = dyn_adjacency_spatial(x, wm1, bm1, wm2, bm2, wrm, brm,
+                                    mask, dtype)
+        # keep the adjacency in the compute dtype end-to-end: casting
+        # inside aggregate instead would materialize it twice in HBM
+        adj = _cast(dyn, dtype) * _cast(jnp.asarray(alpha), dtype) \
+            + _cast(base_adj, dtype)[:, None, None, :, :]
     out = aggregate_spatial(xf, adj, agg, dtype)
     # mixed-precision activation flow: emit the compute dtype so chained
     # ops move half the HBM bytes (accumulation stayed f32 above)
@@ -220,16 +283,27 @@ def dstd_spatial(x: jnp.ndarray, base_adj: jnp.ndarray, alpha: jnp.ndarray,
 def dstd_temporal(x: jnp.ndarray, base_adj: jnp.ndarray, alpha: jnp.ndarray,
                   wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
                   mask: jnp.ndarray | None = None,
-                  agg: str = "right", dtype=None) -> jnp.ndarray:
+                  agg: str = "right", dtype=None,
+                  pair_flat: bool = False) -> jnp.ndarray:
     """Full temporal DSTD-GC over K stacked kernels.
 
     x (N,T,V,Ci), base_adj (K,T,T) static part -> (N,T,V,Co).
+    ``pair_flat`` as in :func:`dstd_spatial`, with (T*T)-flat pair lanes.
     """
     x = _constrain(x)
+    nn, tt, vv = x.shape[0], x.shape[1], x.shape[2]
+    kk = wm1.shape[0]
     xf = _cast(_project(x, wf, bf, dtype), dtype)     # (K,N,T,V,Co)
-    dyn = dyn_adjacency_temporal(x, wm1, bm1, wm2, bm2, wrm, brm, mask,
-                                 dtype)
-    adj = _cast(dyn, dtype) * _cast(jnp.asarray(alpha), dtype) \
-        + _cast(base_adj, dtype)[:, None, None, :, :]
+    if pair_flat:
+        dynf = _dyn_adjacency_flat(x, wm1, bm1, wm2, bm2, wrm, brm,
+                                   mask, dtype, "tt")
+        adjf = _cast(dynf, dtype) * _cast(jnp.asarray(alpha), dtype) \
+            + _cast(base_adj, dtype).reshape(kk, 1, 1, tt * tt)
+        adj = adjf.reshape(kk, nn, vv, tt, tt)
+    else:
+        dyn = dyn_adjacency_temporal(x, wm1, bm1, wm2, bm2, wrm, brm, mask,
+                                     dtype)
+        adj = _cast(dyn, dtype) * _cast(jnp.asarray(alpha), dtype) \
+            + _cast(base_adj, dtype)[:, None, None, :, :]
     out = aggregate_temporal(xf, adj, agg, dtype)
     return _constrain(out if dtype is None else out.astype(dtype))

@@ -117,3 +117,31 @@ def test_compute_dtype_bf16_close_to_f32():
         {"params": p, "batch_stats": variables.get("batch_stats", {})},
         x, train=False) ** 2))(variables["params"])
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+@pytest.mark.parametrize("mode", ["spatial", "temporal"])
+@pytest.mark.parametrize("agg", ["right", "left"])
+def test_pair_flat_matches_grid(mode, agg):
+    """Flat (P*P)-lane pair layout is numerically identical to the grid
+    formulation (incl. masked pairs and gradients)."""
+    rng = np.random.RandomState(3)
+    n, t, v, cin, co = 3, 6, 5, 4, 4
+    k = 2 if mode == "spatial" else 1
+    ref = t if mode == "spatial" else v
+    p = v if mode == "spatial" else t
+    x = jnp.asarray(rng.randn(n, t, v, cin), jnp.float32)
+    base = jnp.asarray(rng.randn(k, p, p), jnp.float32) * 0.3
+    alpha = jnp.asarray(0.7)
+    w = _weights(rng, k, cin, co, 2, ref)
+    mask = jnp.asarray((rng.rand(p, p) < 0.7).astype(np.float32))
+    op = oracle.dstd_spatial if mode == "spatial" else oracle.dstd_temporal
+    for m in (None, mask):
+        want = op(x, base, alpha, **w, mask=m, agg=agg)
+        got = op(x, base, alpha, **w, mask=m, agg=agg, pair_flat=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+    g0 = jax.grad(lambda xx: jnp.sum(op(xx, base, alpha, **w, agg=agg) ** 2))(x)
+    g1 = jax.grad(lambda xx: jnp.sum(
+        op(xx, base, alpha, **w, agg=agg, pair_flat=True) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-5, atol=1e-5)
