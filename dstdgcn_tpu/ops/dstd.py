@@ -41,6 +41,8 @@ __all__ = [
     "dyn_adjacency_temporal",
     "aggregate_spatial",
     "aggregate_temporal",
+    "aggregate_spatial_grouped",
+    "aggregate_temporal_grouped",
     "dstd_spatial",
     "dstd_temporal",
     "sddmm_pairwise_tanh",
@@ -193,6 +195,80 @@ def aggregate_temporal(xf: jnp.ndarray, adj: jnp.ndarray,
                       preferred_element_type=jnp.float32)
 
 
+def _pad_axis(x: jnp.ndarray, axis: int, size: int) -> jnp.ndarray:
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _block_diag_batch(adj: jnp.ndarray, g: int) -> jnp.ndarray:
+    """(..., B, P, P) per-item adjacencies -> (..., B/g, g*P, g*P) batched
+    block-diagonal matrices.
+
+    MXU utilization trick: a batched matmul with tiny M/K (P=22..40 joints
+    or frames) reloads the MXU weight plane per batch item at ~12-18%
+    density; packing ``g`` consecutive items into one block-diagonal matrix
+    makes each weight load g*P wide (~128, a full MXU tile), cutting the
+    number of issued matmuls by g at the cost of g x adjacency bytes (zeros
+    the compiler streams but never reads from HBM twice).  Semantics are
+    exactly the per-item batched contraction (golden-tested vs
+    :func:`aggregate_spatial` / :func:`aggregate_temporal`).
+    """
+    *lead, b, p, p2 = adj.shape
+    assert p == p2 and b % g == 0, (adj.shape, g)
+    a6 = adj.reshape(*lead, b // g, g, p, p)
+    eye = jnp.eye(g, dtype=adj.dtype)
+    bd = a6[..., :, :, None, :] * eye[:, None, :, None]
+    return bd.reshape(*lead, b // g, g * p, g * p)
+
+
+def aggregate_spatial_grouped(xf: jnp.ndarray, adj: jnp.ndarray, g: int,
+                              agg: str = "right", dtype=None) -> jnp.ndarray:
+    """Frame-grouped block-diagonal variant of :func:`aggregate_spatial`.
+
+    xf (K,N,T,V,C), adj (K,N,T,V,V) -> (N,T,V,C); ``g`` frames are packed
+    per matmul (T % g == 0), turning the per-(n,t) V x V aggregation into
+    (g*V) x (g*V) block-diagonal matmuls that fill the MXU.
+    """
+    kk, nn, tt, vv, cc = xf.shape
+    assert tt % g == 0, (tt, g)
+    xfg = _cast_dot(xf, dtype).reshape(kk, nn, tt // g, g * vv, cc)
+    bd = _block_diag_batch(_cast_dot(adj, dtype), g)   # (K,N,T/g,gV,gV)
+    if agg == "right":
+        out = jnp.einsum("knbvc,knbvw->nbwc", xfg, bd,
+                         preferred_element_type=jnp.float32)
+    else:
+        out = jnp.einsum("knbvw,knbwc->nbvc", bd, xfg,
+                         preferred_element_type=jnp.float32)
+    return out.reshape(nn, tt, vv, cc)
+
+
+def aggregate_temporal_grouped(xf: jnp.ndarray, adj: jnp.ndarray, g: int,
+                               agg: str = "right", dtype=None) -> jnp.ndarray:
+    """Joint-grouped block-diagonal variant of :func:`aggregate_temporal`.
+
+    xf (K,N,T,V,C), adj (K,N,V,T,T) -> (N,T,V,C); ``g`` joints are packed
+    per matmul.  V is zero-padded up to a multiple of ``g`` (zero rows of
+    the block-diagonal contribute nothing).
+    """
+    kk, nn, tt, vv, cc = xf.shape
+    vp = -(-vv // g) * g
+    xf_v = jnp.swapaxes(_cast_dot(xf, dtype), 2, 3)    # (K,N,V,T,C)
+    xf_v = _pad_axis(xf_v, 2, vp).reshape(kk, nn, vp // g, g * tt, cc)
+    bd = _block_diag_batch(_pad_axis(_cast_dot(adj, dtype), 2, vp), g)
+    if agg == "right":
+        out = jnp.einsum("knbtc,knbtu->nbuc", xf_v, bd,
+                         preferred_element_type=jnp.float32)
+    else:
+        out = jnp.einsum("knbtu,knbuc->nbtc", bd, xf_v,
+                         preferred_element_type=jnp.float32)
+    out = out.reshape(nn, vp, tt, cc)[:, :vv]          # (N,V,T,C)
+    return jnp.swapaxes(out, 1, 2)
+
+
 def _dyn_adjacency_flat(x, wm1, bm1, wm2, bm2, wrm, brm, mask, dtype,
                         pair: str) -> jnp.ndarray:
     """Shared flat-pair dynamic-adjacency core.
@@ -246,7 +322,8 @@ def dstd_spatial(x: jnp.ndarray, base_adj: jnp.ndarray, alpha: jnp.ndarray,
                  wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
                  mask: jnp.ndarray | None = None,
                  agg: str = "right", dtype=None,
-                 pair_flat: bool = False) -> jnp.ndarray:
+                 pair_flat: bool = False,
+                 agg_group: int | None = None) -> jnp.ndarray:
     """Full spatial DSTD-GC over K stacked kernels.
 
     x (N,T,V,Ci), base_adj (K,V,V) static part -> (N,T,V,Co).
@@ -256,6 +333,8 @@ def dstd_spatial(x: jnp.ndarray, base_adj: jnp.ndarray, alpha: jnp.ndarray,
     ``pair_flat=True`` computes scores/dyn/adjacency-assembly in the flat
     (V*V)-lane layout (see _dyn_adjacency_flat) and reshapes to the pair
     grid only at the aggregation boundary.
+    ``agg_group=g`` aggregates via frame-grouped block-diagonal matmuls
+    (see :func:`aggregate_spatial_grouped`; requires T % g == 0).
     """
     x = _constrain(x)
     nn, tt, vv = x.shape[0], x.shape[1], x.shape[2]
@@ -274,7 +353,10 @@ def dstd_spatial(x: jnp.ndarray, base_adj: jnp.ndarray, alpha: jnp.ndarray,
         # inside aggregate instead would materialize it twice in HBM
         adj = _cast(dyn, dtype) * _cast(jnp.asarray(alpha), dtype) \
             + _cast(base_adj, dtype)[:, None, None, :, :]
-    out = aggregate_spatial(xf, adj, agg, dtype)
+    if agg_group is not None:
+        out = aggregate_spatial_grouped(xf, adj, agg_group, agg, dtype)
+    else:
+        out = aggregate_spatial(xf, adj, agg, dtype)
     # mixed-precision activation flow: emit the compute dtype so chained
     # ops move half the HBM bytes (accumulation stayed f32 above)
     return _constrain(out if dtype is None else out.astype(dtype))
@@ -284,11 +366,14 @@ def dstd_temporal(x: jnp.ndarray, base_adj: jnp.ndarray, alpha: jnp.ndarray,
                   wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
                   mask: jnp.ndarray | None = None,
                   agg: str = "right", dtype=None,
-                  pair_flat: bool = False) -> jnp.ndarray:
+                  pair_flat: bool = False,
+                  agg_group: int | None = None) -> jnp.ndarray:
     """Full temporal DSTD-GC over K stacked kernels.
 
     x (N,T,V,Ci), base_adj (K,T,T) static part -> (N,T,V,Co).
     ``pair_flat`` as in :func:`dstd_spatial`, with (T*T)-flat pair lanes.
+    ``agg_group=g`` aggregates via joint-grouped block-diagonal matmuls
+    (see :func:`aggregate_temporal_grouped`).
     """
     x = _constrain(x)
     nn, tt, vv = x.shape[0], x.shape[1], x.shape[2]
@@ -305,5 +390,8 @@ def dstd_temporal(x: jnp.ndarray, base_adj: jnp.ndarray, alpha: jnp.ndarray,
                                      dtype)
         adj = _cast(dyn, dtype) * _cast(jnp.asarray(alpha), dtype) \
             + _cast(base_adj, dtype)[:, None, None, :, :]
-    out = aggregate_temporal(xf, adj, agg, dtype)
+    if agg_group is not None:
+        out = aggregate_temporal_grouped(xf, adj, agg_group, agg, dtype)
+    else:
+        out = aggregate_temporal(xf, adj, agg, dtype)
     return _constrain(out if dtype is None else out.astype(dtype))

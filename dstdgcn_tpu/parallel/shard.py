@@ -45,7 +45,8 @@ def _local_project(x, w, b):
 
 
 def dstd_spatial_edge_partitioned(mesh: Mesh, x, base_adj, alpha,
-                                  wf, bf, wm1, bm1, wm2, bm2, wrm, brm):
+                                  wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
+                                  batch_sharded: bool = False):
     """Spatial DSTD-GC with the joint axis sharded over ``graph``.
 
     x: global (N, T, V, Ci); V must divide the graph-axis size.  Returns the
@@ -80,7 +81,7 @@ def dstd_spatial_edge_partitioned(mesh: Mesh, x, base_adj, alpha,
         return jax.lax.psum_scatter(part, AXIS, scatter_dimension=2,
                                     tiled=True)
 
-    spec_x = P(None, None, AXIS, None)
+    spec_x = _x_spec(mesh, batch_sharded)
     rep = P()
     return shard_map(
         kernel, mesh=mesh,
@@ -89,8 +90,17 @@ def dstd_spatial_edge_partitioned(mesh: Mesh, x, base_adj, alpha,
     )(x, base_adj, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm)
 
 
+def _x_spec(mesh: Mesh, batch_sharded: bool) -> P:
+    """(N, T, V, C) spec.  With ``batch_sharded`` the batch axis is split
+    over ``data`` too (the kernels are batch-local, so data-parallel
+    composes for free); default replicates batch for small-array tests."""
+    batch = "data" if batch_sharded and "data" in mesh.axis_names else None
+    return P(batch, None, AXIS, None)
+
+
 def dstd_temporal_edge_partitioned(mesh: Mesh, x, base_adj, alpha,
-                                   wf, bf, wm1, bm1, wm2, bm2, wrm, brm):
+                                   wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
+                                   batch_sharded: bool = False):
     """Temporal DSTD-GC with the joint axis sharded over ``graph``.
 
     Pairwise frame scores are joint-local; the joint-mixing ``wrm``
@@ -126,7 +136,7 @@ def dstd_temporal_edge_partitioned(mesh: Mesh, x, base_adj, alpha,
         return jnp.einsum("kntvc,knvtu->nuvc", xf, adj,
                           preferred_element_type=jnp.float32)
 
-    spec_x = P(None, None, AXIS, None)
+    spec_x = _x_spec(mesh, batch_sharded)
     rep = P()
     return shard_map(
         kernel, mesh=mesh,

@@ -1,40 +1,50 @@
 #!/usr/bin/env python
-"""Edges/s scaling-efficiency benchmark for the edge-partitioned DSTD ops.
+"""Edges/s scaling-efficiency benchmark for the partitioned DSTD ops.
 
 North-star harness (BASELINE.json: ">=90% edges/s scaling efficiency on a
-2-host pod slice"): weak-scaling sweep over (data x graph) meshes built from
-the available devices — per-device load held constant, efficiency =
-edges/s(N) / (N * edges/s(1)).  On a real pod slice this measures ICI
-collectives; on the CPU backend (`JAX_PLATFORMS=cpu` +
-`--xla_force_host_platform_device_count=8`) it validates the partitioned
-path and measures partitioning overhead.
+2-host pod slice"): weak-scaling sweep over (data x graph) meshes built
+from the available devices.  Work accounting: the global batch scales with
+the TOTAL device count (``n = per_dev_batch * n_devices``) while the graph
+stays fixed, so per-device work (edges/device) is constant for every
+(data, graph) factorization — efficiency(N) = edges/s(N) / (N * edges/s(1))
+is a true weak-scaling number.
 
-Prints one JSON line per mesh size plus a summary line.
+Timing uses ``dstdgcn_tpu.utils.timing.time_looped`` (output-carried
+``fori_loop``; the round-1 version of this script timed a ``0.0 * step``
+carry that XLA folded to a no-op — see utils/timing.py and
+tests/test_utils.py for the regression pin).
+
+On a real pod slice this measures ICI collectives; on the CPU backend
+(``python scripts/bench_scaling.py --cpu``, 8 virtual devices) it
+validates the partitioned path and measures partitioning overhead.
+
+Prints one JSON line per mesh size plus a summary line, and writes the
+summary to the path given with ``--out`` (default: stdout only).
 """
 
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np  # noqa: E402
 
 
-def main():
+def weak_scaling_sweep(sizes=None, per_dev_batch=32, t=16, v=64, c=64,
+                       kk=2, r=2, iters=20):
+    """Run the weak-scaling sweep; returns (results, summary) dicts."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from dstdgcn_tpu.ops import dstd as ops
-    from dstdgcn_tpu.parallel import activation_sharding_context, make_mesh
+    from dstdgcn_tpu.parallel import make_mesh
+    from dstdgcn_tpu.parallel.shard import dstd_spatial_edge_partitioned
+    from dstdgcn_tpu.utils.timing import time_looped
 
     devices = jax.devices()
-    sizes = [n for n in (1, 2, 4, 8, 16) if n <= len(devices)]
-    t, v, c, kk, r = 16, 64, 64, 2, 2
-    per_dev_batch = 32
-    iters = 20
+    if sizes is None:
+        sizes = [n for n in (1, 2, 4, 8, 16) if n <= len(devices)]
     rng = np.random.RandomState(0)
 
     def mk(*s):
@@ -51,43 +61,77 @@ def main():
         graph = 2 if nd % 2 == 0 else 1
         mesh = make_mesh(data=nd // graph, graph=graph,
                          devices=devices[:nd])
-        n = per_dev_batch * (nd // graph)
+        # global batch scales with TOTAL devices -> constant edges/device
+        # for any (data, graph) factorization of nd
+        n = per_dev_batch * nd
         x = jnp.asarray(rng.randn(n, t, v, c).astype(np.float32))
         x = jax.device_put(x, NamedSharding(mesh, P("data", None, "graph")))
 
+        # the explicit shard_map edge-partitioned op (parallel/shard.py) is
+        # the north-star formulation and what must scale; the GSPMD
+        # constraint path exists for model code but XLA's auto-partitioner
+        # replicates intermediates for this op on some backends
         def step(xx):
-            return ops.dstd_spatial(xx, base, alpha, wf, bf, wm1, bm1,
-                                    wm2, bm2, wrm, brm)
+            return dstd_spatial_edge_partitioned(
+                mesh, xx, base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
+                batch_sharded=True)
 
-        with activation_sharding_context(mesh):
-            f = jax.jit(lambda xx: jax.lax.fori_loop(
-                0, iters, lambda i, acc: acc + 0.0 * step(acc), xx))
-            jax.block_until_ready(f(x))
-            t0 = time.perf_counter()
-            jax.block_until_ready(f(x))
-            dt = (time.perf_counter() - t0) / iters
+        dt = time_looped(step, x, iters=iters)
 
         edges = kk * n * t * v * v
         eps = edges / dt
-        results.append((nd, eps))
-        print(json.dumps({"devices": nd, "mesh": dict(mesh.shape),
-                          "batch": n, "edges_per_s": round(eps, 1),
-                          "step_ms": round(dt * 1e3, 3)}))
+        results.append({"devices": nd, "mesh": dict(mesh.shape),
+                        "batch": n, "edges_per_s": round(eps, 1),
+                        "step_ms": round(dt * 1e3, 3)})
+        print(json.dumps(results[-1]), flush=True)
 
-    base_eps = results[0][1]
+    base_eps = results[0]["edges_per_s"]
+    base_ms = results[0]["step_ms"]
+    backend = jax.default_backend()
+    # parallel efficiency: eps(N) / (N * eps(1)) — the real-hardware weak
+    # scaling number (one physical chip per device).  On the virtual CPU
+    # mesh all "devices" share one host, so ideal time is N * t(1); the
+    # meaningful number there is partition-overhead efficiency
+    # N * t(1) / t(N) (1.0 = partitioning adds zero overhead).
+    eff_parallel = {str(rr["devices"]):
+                    round(rr["edges_per_s"] / (rr["devices"] * base_eps), 4)
+                    for rr in results}
+    eff_overhead = {str(rr["devices"]):
+                    round(rr["devices"] * base_ms / rr["step_ms"], 4)
+                    for rr in results}
     summary = {
         "metric": "edges/s scaling efficiency (weak)",
-        "backend": jax.default_backend(),
-        "efficiency": {str(nd): round(eps / (nd * base_eps), 4)
-                       for nd, eps in results},
+        "backend": backend,
+        "per_device_batch": per_dev_batch,
+        "runs": results,
+        "efficiency": (eff_overhead if backend == "cpu" else eff_parallel),
+        "efficiency_parallel": eff_parallel,
+        "efficiency_partition_overhead": eff_overhead,
+        "note": ("cpu backend: devices are threads on one host, so the "
+                 "headline efficiency is partition overhead (N*t1/tN); "
+                 "on real multi-chip hardware it is eps(N)/(N*eps(1))"
+                 if backend == "cpu" else
+                 "weak scaling: eps(N)/(N*eps(1))"),
     }
+    return results, summary
+
+
+def main(out_path=None):
+    _, summary = weak_scaling_sweep()
     print(json.dumps(summary))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(summary, f, indent=1)
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--cpu":
+    args = sys.argv[1:]
+    if "--cpu" in args:
         os.environ.setdefault("XLA_FLAGS",
                               "--xla_force_host_platform_device_count=8")
         import jax
         jax.config.update("jax_platforms", "cpu")
-    main()
+    out = None
+    if "--out" in args:
+        out = args[args.index("--out") + 1]
+    main(out)
