@@ -159,6 +159,122 @@ def load_h36m_3d(data_path: str, subjects, actions, sample_rate: int,
     return all_seqs, dim_ignore, dim_used
 
 
+def _std_dims(complete_seq: np.ndarray):
+    """Std-threshold channel split of the angle loaders (utils.py:815-822):
+    channels with std < 1e-4 over the concatenated raw sequences are
+    ignored; their stats are pinned to mean 0 / std 1."""
+    data_std = complete_seq.std(axis=0)
+    data_mean = complete_seq.mean(axis=0)
+    dim_ignore = np.where(data_std < 1e-4)[0]
+    dim_used = np.where(data_std >= 1e-4)[0]
+    data_std = data_std.copy()
+    data_mean = data_mean.copy()
+    data_std[dim_ignore] = 1.0
+    data_mean[dim_ignore] = 0.0
+    return dim_ignore, dim_used, data_mean, data_std
+
+
+def load_h36m_angles(data_path: str, subjects, actions, sample_rate: int,
+                     seq_len: int, input_n: int = 10, test_mode: str = "8"):
+    """Reference ``load_data`` (utils.py:728-822): windows over the RAW
+    expmap channels — no forward kinematics, global translation/rotation
+    kept — selected by ``data_3d: False`` (dataset/h36m.py:37-44).
+
+    Reference-parity notes (latent bugs fixed on our side, deliberately):
+      * the reference call site unpacks 3 of the 5 returned values and
+        passes ``test_mode`` (a string) into the numeric ``input_n``
+        parameter (dataset/h36m.py:44-45), so the angle path crashes as
+        shipped; this implements the intended semantics with the same
+        window protocols as the 3D loader (sliding windows for train
+        subjects, SRNN-seeded windows for subject 5).
+      * in the reference, subject-5 windows after the first action are
+        dropped by the ``len(sampled_seq) == 0`` guard (utils.py:806-812);
+        harmless in the runner flow (one action per test dataset),
+        implemented correctly here.
+
+    Returns ``(all_seqs, dim_ignore, dim_used, data_mean, data_std)`` with
+    ``dim_used`` = channels whose std is >= 1e-4 (see :func:`_std_dims`).
+    """
+    sampled, complete = [], []
+    for subj in subjects:
+        for action in actions:
+            if subj != 5:
+                for subact in (1, 2):
+                    fn = f"{data_path}/S{subj}/{action}_{subact}.txt"
+                    seq = read_csv_floats(fn)[::sample_rate]
+                    sampled.append(sliding_windows(seq, seq_len))
+                    complete.append(seq)
+            else:
+                seqs = []
+                for subact in (1, 2):
+                    fn = f"{data_path}/S{subj}/{action}_{subact}.txt"
+                    seqs.append(read_csv_floats(fn)[::sample_rate])
+                n1, n2 = len(seqs[0]), len(seqs[1])
+                if test_mode == "8":
+                    f1, f2 = find_indices_srnn(n1, n2, seq_len,
+                                               input_n=input_n)
+                elif test_mode == "256":
+                    f1, f2 = find_indices_srnn(n1, n2, seq_len,
+                                               input_n=input_n, count=128)
+                elif test_mode == "all":
+                    f1 = np.array([np.arange(i, i + seq_len)
+                                   for i in range(n1 - 100)])
+                    f2 = np.array([np.arange(i, i + seq_len)
+                                   for i in range(n2 - 100)])
+                else:
+                    raise ValueError(f"Invalid test_mode {test_mode}")
+                sampled.append(seqs[0][f1])
+                sampled.append(seqs[1][f2])
+                complete.extend(seqs)
+    all_seqs = np.concatenate(sampled, axis=0)
+    dim_ignore, dim_used, mean, std = _std_dims(np.concatenate(complete, 0))
+    return all_seqs, dim_ignore, dim_used, mean, std
+
+
+def load_cmu_angles(data_path: str, actions, input_n: int, output_n: int,
+                    data_std=None, data_mean=None, is_test: bool = False):
+    """Reference ``load_data_cmu`` (utils.py:463-523): windows over raw CMU
+    expmap channels, frames downsampled by the hard-coded factor 2.
+
+    The reference's CMU angle branch is unimplemented (``pass`` at
+    dataset/cmu.py:45-47, leaving ``all_seqs`` unbound); this provides the
+    loader it stubs out.  Test windows follow the per-file SRNN protocol
+    (seed 1234567890, 8 windows from a 50+25-frame span, utils.py:494-510).
+    As in the reference, test loads reuse the train-time ``data_std`` /
+    ``data_mean`` for the std-threshold channel split (utils.py:513-523).
+    """
+    seq_len = input_n + output_n
+    sampled, complete = [], []
+    for action in actions:
+        path = os.path.join(data_path, action)
+        count = len(os.listdir(path))
+        for idx in range(count):
+            fn = os.path.join(path, f"{action}_{idx + 1}.txt")
+            seq = read_csv_floats(fn)[::2]
+            complete.append(seq)
+            if not is_test:
+                sampled.append(sliding_windows(seq, seq_len))
+            else:
+                src, tgt = 50, 25
+                rng = np.random.RandomState(1234567890)
+                for _ in range(8):
+                    i = rng.randint(0, len(seq) - (src + tgt))
+                    sampled.append(seq[None, i + src - input_n:
+                                       i + src + output_n])
+    all_seqs = np.concatenate(sampled, axis=0)
+    if is_test and data_std is not None:
+        std = np.asarray(data_std, dtype=np.float64).copy()
+        mean = np.asarray(data_mean, dtype=np.float64).copy()
+        dim_ignore = np.where(std < 1e-4)[0]
+        dim_used = np.where(std >= 1e-4)[0]
+        std[dim_ignore] = 1.0
+        mean[dim_ignore] = 0.0
+    else:
+        dim_ignore, dim_used, mean, std = _std_dims(
+            np.concatenate(complete, 0))
+    return all_seqs, dim_ignore, dim_used, mean, std
+
+
 def load_cmu_3d(data_path: str, actions, sample_rate: int, input_n: int,
                 output_n: int, mode: str = "all"):
     """Reference ``load_data_cmu_3d`` (utils.py:526-592)."""
@@ -280,13 +396,22 @@ class Human36M(MotionDataset):
                  dct_used=15, mode="train", sample_rate=2, scale=False,
                  scaler=None, data_3d=True, test_mode="all", mirror=False,
                  padding=True):
-        assert data_3d, "angle-space loading is not part of the TPU build"
         acts = define_actions(actions, "h36m")
-        all_seqs, _, dim_used = load_h36m_3d(
-            data_path, self.SUBJECTS[mode], acts, sample_rate,
-            input_n + output_n, test_mode)
+        if data_3d:
+            all_seqs, _, dim_used = load_h36m_3d(
+                data_path, self.SUBJECTS[mode], acts, sample_rate,
+                input_n + output_n, test_mode)
+            layout = "h36m"
+        else:
+            # angle-space (expmap) loading, dataset/h36m.py:43-45; mirror
+            # augmentation only supports 3D data (reference comment :39-41)
+            all_seqs, _, dim_used, self.angle_mean, self.angle_std = \
+                load_h36m_angles(data_path, self.SUBJECTS[mode], acts,
+                                 sample_rate, input_n + output_n,
+                                 input_n=input_n, test_mode=test_mode)
+            layout, mirror = None, False
         super().__init__(all_seqs, dim_used, input_n, output_n,
-                         layout="h36m", mirror=mirror, padding=padding,
+                         layout=layout, mirror=mirror, padding=padding,
                          dct_used=dct_used, apply_dct=True, scale=scale,
                          scaler=scaler)
 
@@ -300,9 +425,17 @@ class CMUMocap(MotionDataset):
                  padding=True):
         del mode
         acts = define_actions(actions, "cmu")
-        all_seqs, _, dim_used = load_cmu_3d(data_path, acts, sample_rate,
-                                            input_n, output_n, test_mode)
-        super().__init__(all_seqs, dim_used, input_n, output_n, layout="cmu",
+        if data_3d:
+            all_seqs, _, dim_used = load_cmu_3d(data_path, acts, sample_rate,
+                                                input_n, output_n, test_mode)
+            layout = "cmu"
+        else:
+            # angle-space loader the reference stubs out (dataset/cmu.py:45)
+            all_seqs, _, dim_used, self.angle_mean, self.angle_std = \
+                load_cmu_angles(data_path, acts, input_n, output_n,
+                                is_test=(test_mode == "8"))
+            layout, mirror = None, False
+        super().__init__(all_seqs, dim_used, input_n, output_n, layout=layout,
                          mirror=mirror, padding=padding, dct_used=dct_used,
                          apply_dct=False, scale=scale, scaler=scaler)
 

@@ -127,14 +127,17 @@ class PredictionEngine:
 
     def _put_batch(self, *arrays):
         """Place per-batch host arrays; shard batch axis when a mesh is set
-        and the batch divides the data axis (last ragged batch replicates)."""
+        and the batch divides the data axis (last ragged batch replicates).
+        Under a multi-host launch, each process's local shard is stitched
+        into one global array (parallel.distributed.make_global_batch)."""
         out = tuple(jnp.asarray(a, jnp.float32) for a in arrays)
         if self.mesh is None or self.data_sharding is None:
             return out
-        n = out[0].shape[0]
-        if n % self.mesh.shape.get("data", 1) != 0:
+        n_global = out[0].shape[0] * jax.process_count()
+        if n_global % self.mesh.shape.get("data", 1) != 0:
             return out
-        return tuple(jax.device_put(a, self.data_sharding) for a in out)
+        from ..parallel.distributed import make_global_batch
+        return make_global_batch(out, self.data_sharding)
 
     # -- state ------------------------------------------------------------
 

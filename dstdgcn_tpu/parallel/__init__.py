@@ -1,11 +1,13 @@
-from . import mesh, shard
+from . import distributed, mesh, shard
+from .distributed import initialize, make_global_batch, process_info
 from .mesh import (activation_sharding_context, batch_sharding,
                    constrain_activation, make_mesh, replicated)
 from .shard import (dstd_spatial_edge_partitioned,
                     dstd_temporal_edge_partitioned)
 
 __all__ = [
-    "mesh", "shard", "make_mesh", "batch_sharding", "replicated",
-    "activation_sharding_context", "constrain_activation",
+    "mesh", "shard", "distributed", "make_mesh", "batch_sharding",
+    "replicated", "activation_sharding_context", "constrain_activation",
     "dstd_spatial_edge_partitioned", "dstd_temporal_edge_partitioned",
+    "initialize", "process_info", "make_global_batch",
 ]

@@ -95,7 +95,13 @@ class BaseRunner:
                 shutil.copy(file, self.config["save"]["path"]["files"])
 
     def _loader(self, dataset, batch_size, shuffle):
-        return Loader(dataset.arrays(), batch_size, shuffle=shuffle)
+        # under a multi-host launch each process gathers only its shard of
+        # every (global) batch; ragged final batches are dropped so all
+        # processes assemble equal-sized global arrays
+        from ..parallel.distributed import process_info
+        pi, pc = process_info()
+        return Loader(dataset.arrays(), batch_size, shuffle=shuffle,
+                      drop_last=pc > 1, process_index=pi, process_count=pc)
 
     def _init_engine(self, sample_loader) -> None:
         inputs = sample_loader.arrays[0] if isinstance(

@@ -28,7 +28,14 @@ if __name__ == "__main__":
     opts["save"]["path"]["base"] = args.run_dir
     os.makedirs(args.run_dir, exist_ok=True)
 
-    logger = setup_logger("prediction", args.run_dir, 0)
+    # multi-host launch (SURVEY §7 step 8): initialize jax.distributed
+    # BEFORE any device query so jax.devices() is the global set; a missing
+    # config block / env means single-process (no-op, rank 0)
+    from dstdgcn_tpu.parallel import distributed as dist
+    rank, _ = dist.initialize(
+        (opts.get("parallel") or {}).get("distributed"))
+
+    logger = setup_logger("prediction", args.run_dir, rank)
     logger.info(f"Pid: {os.getpid()}")
 
     if "test" not in opts["mode"]:

@@ -9,7 +9,6 @@ minor dim is 22/35 — see ops/dstd.py::_dyn_adjacency_flat.
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -23,7 +22,6 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402  (reuse _naive_params and shapes)
 from dstdgcn_tpu.ops import dstd as ops  # noqa: E402
 

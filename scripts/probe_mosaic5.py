@@ -102,6 +102,10 @@ def main():
 
     for nb in (2, 4, 8, 16, 32):
         os.environ["DSTDGCN_FUSED_NB"] = str(nb)
+        # fused._block_samples reads the env var at trace time and jit
+        # traces are cached by function identity — drop all caches so each
+        # nb actually retraces (otherwise every nb re-times the first one).
+        jax.clear_caches()
         for name, fn in (("spatial", spatial), ("temporal", temporal)):
             key = f"fused_{name}_nb{nb}_ms"
             try:

@@ -93,6 +93,79 @@ def test_pw3d_loader(tmp_path, rng):
     np.testing.assert_allclose(ds.all_seqs[:, :, :3], 0, atol=1e-5)
 
 
+def test_h36m_angle_loader_train_matches_reference(tmp_path, rng):
+    """Golden vs reference ``load_data`` (utils.py:728-822) on the train
+    path.  The reference's own call site crashes (3-of-5 unpack,
+    dataset/h36m.py:44); calling the loader directly is well-defined."""
+    pytest.importorskip("torch")
+    _write_h36m_tree(tmp_path, rng)
+    from dataset.utils import load_data
+    ref_seqs, ref_ign, ref_used, ref_mean, ref_std = load_data(
+        str(tmp_path), [1], ["walking"], 2, 15, input_n=10)
+    ours, ign, used, mean, std = datasets.load_h36m_angles(
+        str(tmp_path), [1], ["walking"], 2, 15, input_n=10)
+    np.testing.assert_array_equal(used, ref_used)
+    np.testing.assert_array_equal(ign, ref_ign)
+    np.testing.assert_allclose(ours, ref_seqs, atol=1e-5)
+    np.testing.assert_allclose(mean, ref_mean, atol=1e-5)
+    np.testing.assert_allclose(std, ref_std, atol=1e-5)
+
+
+def test_h36m_angle_loader_srnn_matches_reference(tmp_path, rng):
+    pytest.importorskip("torch")
+    _write_h36m_tree(tmp_path, rng, n_frames=800)
+    from dataset.utils import load_data
+    ref_seqs, _, ref_used, _, _ = load_data(
+        str(tmp_path), [5], ["walking"], 2, 15, input_n=10)
+    ours, _, used, _, _ = datasets.load_h36m_angles(
+        str(tmp_path), [5], ["walking"], 2, 15, input_n=10, test_mode="8")
+    np.testing.assert_array_equal(used, ref_used)
+    np.testing.assert_allclose(ours, ref_seqs, atol=1e-5)
+
+
+def test_h36m_dataset_angle_space(tmp_path, rng):
+    _write_h36m_tree(tmp_path, rng)
+    ds = datasets.Human36M(str(tmp_path), actions="walking", input_n=10,
+                           output_n=5, dct_used=0, mode="debug",
+                           sample_rate=2, data_3d=False)
+    # raw expmap channels: 99 wide, no mirror augmentation
+    assert ds.all_seqs.shape[1:] == (15, 99)
+    assert len(ds) == 106 * 2
+    assert ds.input_seqs.shape[2] == len(ds.dim_used)
+    assert ds.angle_std.shape == (99,)
+
+
+def test_cmu_angle_loader_matches_reference(tmp_path, rng):
+    pytest.importorskip("torch")
+    d = os.path.join(tmp_path, "walking")
+    os.makedirs(d)
+    for i in (1, 2):
+        arr = 0.3 * rng.randn(200, 117).astype(np.float32)
+        np.savetxt(os.path.join(d, f"walking_{i}.txt"), arr, delimiter=",",
+                   fmt="%.6f")
+    from dataset.utils import load_data_cmu
+    ref_seqs, ref_ign, ref_used, ref_mean, ref_std = load_data_cmu(
+        str(tmp_path), ["walking"], 10, 5)
+    ours, ign, used, mean, std = datasets.load_cmu_angles(
+        str(tmp_path), ["walking"], 10, 5)
+    np.testing.assert_array_equal(used, ref_used)
+    np.testing.assert_allclose(ours, ref_seqs, atol=1e-5)
+    np.testing.assert_allclose(std, ref_std, atol=1e-5)
+    # test split reuses the train stats (utils.py:513-523)
+    ref_t, _, ref_used_t, _, _ = load_data_cmu(
+        str(tmp_path), ["walking"], 10, 5, data_std=ref_std.copy(),
+        data_mean=ref_mean.copy(), is_test=True)
+    ours_t, _, used_t, _, _ = datasets.load_cmu_angles(
+        str(tmp_path), ["walking"], 10, 5, data_std=std, data_mean=mean,
+        is_test=True)
+    np.testing.assert_array_equal(used_t, ref_used_t)
+    np.testing.assert_allclose(ours_t, ref_t, atol=1e-5)
+    ds = datasets.CMUMocap(str(tmp_path), actions="walking", input_n=10,
+                           output_n=5, dct_used=0, data_3d=False,
+                           test_mode="all")
+    assert ds.all_seqs.shape[1:] == (15, 117)
+
+
 def test_native_csv_reader_matches_numpy(tmp_path, rng):
     arr = rng.randn(40, 13).astype(np.float32)
     path = os.path.join(tmp_path, "x.txt")

@@ -158,3 +158,38 @@ def test_engine_mesh_plumbing_end_to_end():
     avg, per_frame = eng.test(L(), input_n=4, eval_frame=[1, 3],
                               dim_used=np.arange(66))
     assert np.isfinite(avg) and per_frame.shape == (2,)
+
+
+def test_distributed_single_process_noop():
+    from dstdgcn_tpu.parallel import distributed as dist
+    # no config, no env -> single-process no-op
+    assert dist.initialize(None) == (0, 1)
+    assert dist.process_info() == (0, 1)
+    # `coordinator: auto` off-pod (CPU backend) falls back gracefully
+    assert dist.initialize({"coordinator": "auto"}) == (0, 1)
+
+
+def test_loader_process_split_partitions_global_batch():
+    from dstdgcn_tpu.data import Loader
+    rng = np.random.RandomState(0)
+    data = (rng.randn(40, 3).astype(np.float32),)
+    full = Loader(data, 8, shuffle=True, seed=3, drop_last=True)
+    shards = [Loader(data, 8, shuffle=True, seed=3, drop_last=True,
+                     process_index=i, process_count=2) for i in range(2)]
+    for l in (full, *shards):
+        l.set_epoch(2)
+    for (gb,), (s0,), (s1,) in zip(full, *shards):
+        assert s0.shape[0] == s1.shape[0] == gb.shape[0] // 2
+        # interleaved split reassembles the exact global batch
+        merged = np.empty_like(gb)
+        merged[0::2], merged[1::2] = s0, s1
+        np.testing.assert_array_equal(merged, gb)
+
+
+def test_make_global_batch_single_process_places_sharded():
+    from dstdgcn_tpu.parallel import batch_sharding, make_global_batch
+    mesh = make_mesh(graph=1)
+    arrs = (np.arange(32, dtype=np.float32).reshape(8, 4),)
+    (out,) = make_global_batch(arrs, batch_sharding(mesh))
+    assert isinstance(out, jax.Array)
+    np.testing.assert_array_equal(np.asarray(out), arrs[0])
