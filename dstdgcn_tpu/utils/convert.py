@@ -176,7 +176,12 @@ def torch_state_to_flax(sd: Dict[str, np.ndarray], num_layers: int,
     params["prelu"] = {"negative_slope": sd["prelu.weight"].reshape(())}
 
     import jax.numpy as jnp
-    to_jnp = lambda t: jnp.asarray(np.asarray(t, np.float32))
+    # copy=True is load-bearing: several converted arrays (e.g. the fast
+    # variant's v-major _bn_vec reshape) are zero-copy VIEWS of the torch
+    # state_dict buffers, and jnp.asarray on the CPU backend can alias
+    # host numpy memory — without the copy, running the torch model in
+    # train mode afterwards silently mutates our batch_stats in place.
+    to_jnp = lambda t: jnp.asarray(np.array(t, dtype=np.float32, copy=True))
     import jax
     return {"params": jax.tree.map(to_jnp, params),
             "batch_stats": jax.tree.map(to_jnp, stats)}

@@ -188,3 +188,75 @@ def test_fast_eval_forward_matches():
         y_ref = ref(torch.from_numpy(x)).numpy()
     y = ours.apply(variables, jnp.asarray(x), train=False)
     assert _rel_err(y, y_ref) < 1e-4
+
+
+@pytest.mark.skipif(RefFastDSTDGCN is None, reason="reference unavailable")
+def test_fast_train_forward_and_batch_stats_match():
+    """Train-mode forward + running-stats parity for the fast variant.
+
+    The fast model flattens its joint-wise BatchNorm v-major
+    (/root/reference/model/dstdgcn_fast.py:47-53) — this exercises the
+    fast=True reshape in utils/convert.py::_bn_vec against the reference's
+    actual batch-stat updates."""
+    ref, ours, variables = _fast_models(seed=3)
+    ref.train()
+    rng = np.random.RandomState(2)
+    x = rng.randn(4, 15, 22, 3).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x)).numpy()
+    y, mut = ours.apply(variables, jnp.asarray(x), train=True,
+                        rngs={"dropout": jax.random.key(0)},
+                        mutable=["batch_stats"])
+    assert _rel_err(y, y_ref) < 1e-4
+
+    ref_stats = {k: v.detach().numpy() for k, v in ref.state_dict().items()
+                 if "running" in k}
+    # fast variant: BatchNorm1d(V*C) vectors are v-major (index v*C + c)
+    m = ref_stats["bn_in.bn.running_mean"].reshape(22, 16)
+    v = ref_stats["bn_in.bn.running_var"].reshape(22, 16)
+    assert _rel_err(np.asarray(mut["batch_stats"]["bn_in"]["mean"]), m) < 1e-4
+    assert _rel_err(np.asarray(mut["batch_stats"]["bn_in"]["var"]), v) < 1e-4
+    m2 = ref_stats["conv_st_in.stgcn.0.0.bn.bn.running_mean"].reshape(22, -1)
+    ours_m2 = np.asarray(
+        mut["batch_stats"]["conv_st_in"]["block"]["bn"]["mean"])
+    assert _rel_err(ours_m2, m2) < 1e-4
+
+
+@pytest.mark.skipif(RefFastDSTDGCN is None, reason="reference unavailable")
+def test_fast_gradients_match():
+    """Gradient parity for the fast variant (train mode) vs
+    /root/reference/model/dstdgcn_fast.py:59-614."""
+    ref, ours, variables = _fast_models(seed=4)
+    ref.train()
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 15, 22, 3).astype(np.float32)
+    xt = torch.from_numpy(x)
+    loss_ref = (ref(xt) ** 2).mean()
+    loss_ref.backward()
+
+    def loss_fn(params):
+        y = ours.apply({"params": params,
+                        "batch_stats": variables["batch_stats"]},
+                       jnp.asarray(x), train=True,
+                       rngs={"dropout": jax.random.key(0)},
+                       mutable=["batch_stats"])[0]
+        return jnp.mean(y ** 2)
+
+    g = jax.grad(loss_fn)(variables["params"])
+    blk = dict(ref.named_parameters())
+    pairs = [
+        (g["conv_st_in"]["block"]["alpha_sm"],
+         blk["conv_st_in.stgcn.0.0.alpha_sm"].grad.numpy()),
+        (g["conv_st_in"]["block"]["A_s"],
+         blk["conv_st_in.stgcn.0.0.A_s"].grad.numpy()),
+        # fast conv_f is nn.Linear (Co, Ci); ours stores wf (K, Ci, Co)
+        (np.moveaxis(np.asarray(
+            g["encoder_0"]["block"]["spatial"]["wf"]), -1, -2)[1],
+         blk["encoders.0.0.stgcn.0.0.conv_s.1.conv_f.weight"].grad.numpy()),
+        (g["encoder_0"]["block"]["temporal"]["brm"][0],
+         blk["encoders.0.0.stgcn.0.0.conv_t.0.conv_rm.bias"].grad.numpy()),
+        (g["encoder_0"]["block"]["R_t"],
+         blk["encoders.0.0.stgcn.0.0.R_t"].grad.numpy()),
+    ]
+    for a, b in pairs:
+        assert _rel_err(a, b) < 1e-3
