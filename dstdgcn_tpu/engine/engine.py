@@ -94,9 +94,21 @@ class PredictionEngine:
         self.lr = float(learn["lr"])
         wd = float(learn.get("weight_decay", 0.0))
         clip = float(config.get("clip", -1))
+        solver_cfg = dict(config.get("solver") or {})
+        if solver_cfg:
+            # per-parameter-group optimizer (engine.solver block: reference
+            # solver/build.py:10-22 capability): the bias group gets
+            # lr * bias_lr_factor; the StepLR schedule still drives the one
+            # injected learning_rate, so both groups follow it
+            from .solver import make_optimizer
+            solver_cfg.setdefault("weight_decay", wd)
+            self.tx = optax.inject_hyperparams(
+                lambda learning_rate: make_optimizer(
+                    dict(solver_cfg, base_lr=learning_rate)))(
+                learning_rate=self.lr)
         # torch Adam's weight_decay is L2-added-to-grad, i.e. optax
         # add_decayed_weights before adam — matches prediction.py:187-192
-        if wd > 0:
+        elif wd > 0:
             self.tx = optax.inject_hyperparams(
                 lambda learning_rate: optax.chain(
                     optax.add_decayed_weights(wd),
@@ -107,6 +119,7 @@ class PredictionEngine:
         if clip > 0:
             self.tx = optax.chain(optax.clip_by_global_norm(clip), self.tx)
         self._clip = clip
+        self._callbacks = None
 
         self.best_err = float("inf")
         self.state: Optional[TrainState] = None
@@ -298,6 +311,20 @@ class PredictionEngine:
                                                       weights)
             self._train_key = key
 
+        # optional callback-driven logging (engine.callbacks block): windowed
+        # per-loss CSV via utils.callbacks.CallbackLogger; save/eval/visual
+        # callbacks remain library-level registrations on engine.callbacks
+        cb_cfg = self.config.get("callbacks")
+        if cb_cfg and self._callbacks is None:
+            from ..utils.callbacks import CallbackLogger
+            self._callbacks = CallbackLogger(
+                str(cb_cfg.get("log_dir", ".")), epoch=epoch,
+                name=str(cb_cfg.get("name", "train")))
+            self._last_losses: Dict[str, float] = {}
+            self._callbacks.add_loss_log(
+                lambda: self._last_losses, int(cb_cfg.get("loss_freq", 1)),
+                int(cb_cfg.get("window", 100)))
+
         t_l = {name: L.AccumLoss() for name in self.loss_funcs}
         num_iter = (len(train_loader) if max_iter == -1
                     else min(len(train_loader), max_iter))
@@ -342,10 +369,16 @@ class PredictionEngine:
                         f"smaller lr or clipping")
             for name, val in losses.items():
                 t_l[name].update(float(val) * n, n)
+            if self._callbacks is not None:
+                self._last_losses = {name: float(val)
+                                     for name, val in losses.items()}
+                self._callbacks.step()
             desc = f"epoch: {epoch + 1}|[{i + 1}/{num_iter}]|train|" + "".join(
                 "{}:{:.2f}|".format(name, t_l[name].avg) for name in t_l)
         if tracing:
             jax.profiler.stop_trace()
+        if self._callbacks is not None:
+            self._callbacks.end_epoch()
         if self.logger is not None:
             self.logger.info(desc)
             self.logger.info(f"epoch {epoch + 1} step timing: "

@@ -32,16 +32,21 @@ def _is_bias(path) -> bool:
 
 
 def make_optimizer(cfg: Dict[str, Any],
-                   params) -> optax.GradientTransformation:
+                   params=None) -> optax.GradientTransformation:
     """Build an optimizer with a separate bias parameter group.
 
     ``cfg`` keys (reference SOLVER block): ``optimizer_name``, ``base_lr``,
     ``bias_lr_factor``, ``weight_decay``, ``weight_decay_bias``,
     ``momentum``.  ``params`` is the parameter pytree used to derive the
-    group masks.
+    group masks; pass ``None`` to derive them lazily from the params seen at
+    ``tx.init`` time (lets the engine build the optimizer before the model).
+
+    ``base_lr`` may be a traced scalar so the whole thing composes with
+    ``optax.inject_hyperparams`` for per-epoch schedules (how the engine's
+    ``engine.solver`` config block consumes it).
     """
     name = str(cfg.get("optimizer_name", "adam")).lower()
-    base_lr = float(cfg.get("base_lr", 1e-3))
+    base_lr = cfg.get("base_lr", 1e-3)
     bias_factor = float(cfg.get("bias_lr_factor", 1.0))
     wd = float(cfg.get("weight_decay", 0.0))
     wd_bias = float(cfg.get("weight_decay_bias", wd))
@@ -53,8 +58,11 @@ def make_optimizer(cfg: Dict[str, Any],
 
     import jax
 
-    labels = jax.tree_util.tree_map_with_path(
-        lambda path, _: "bias" if _is_bias(path) else "base", params)
+    def label_tree(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "bias" if _is_bias(path) else "base", tree)
+
+    labels = label_tree if params is None else label_tree(params)
 
     def group(lr: float, decay: float) -> optax.GradientTransformation:
         tx = make(lr, momentum)

@@ -14,24 +14,25 @@ against /root/reference/model/dstdgcn.py:53-94 via the oracle); gradients
 flow through a ``custom_vjp`` whose backward is derived from the oracle,
 so training with ``use_pallas=True`` is exact.
 
-Mosaic layout strategy (every primitive compile-verified on a real v5e via
-``scripts/probe_mosaic*.py``):
+Mosaic layout strategy (every step compile-verified on a real v5e via
+``scripts/probe_mosaic*.py``; per-stage costs measured in
+``probe_mosaic9``/``probe_mosaic11``):
 
   * joints (and, for the temporal op, frames) are zero-padded to sublane
     multiples so row-group reshapes are tile-aligned;
-  * pairwise scores are constructed DIRECTLY in the layout the mixing
-    contraction wants — ``(n, a, b, src)`` with the (r, src) channels on
-    lanes — by transposing the tiny rank-1-lane q/k projections instead of
-    the big score tensor;
-  * the frame/joint mixing then collapses to ONE plain 2D matmul
-    ``(nb*A*B, R*S) @ (R*S, T_out)`` per stacked kernel: the batch merges
-    into the MXU M-dim through a tile-aligned reshape (large M amortizes
-    the small K/N dims; a batched dot_general here issues thousands of
-    tiny matmuls instead);
+  * ALL q/k correlation projections (both stacked kernels x {q, k} x R
+    reduction channels) are emitted by ONE matmul into a stacked
+    ``(rows, K*2R)`` panel, which is relaid out ONCE (a single minor-dims
+    transpose) into the layout the pairwise scores want — the per-(kernel,
+    channel) singleton-dim transpose dance this replaces was the largest
+    single cost in the kernel (~45% of device time, probe_mosaic9);
+  * pairwise scores are then pure broadcasts: ``tanh(q - k)`` lands
+    directly in ``(n, a, b, src)`` with the src pair-channel on lanes;
+  * the frame/joint mixing factorizes over the R reduction channels into
+    plain 2D matmuls ``(nb*A*B, S) @ (S, T_out)`` accumulated in f32 — no
+    lane-dim concatenation (Mosaic lane merges are slow/unsupported);
   * the adjacency is re-batched for aggregation with one sublane<->lane
-    transpose + one major<->sublane transpose (both Mosaic-supported;
-    lane merges/splits like ``(B, V, W) -> (B, V*W)`` are NOT, which rules
-    out flat-pair-lane formulations);
+    transpose + one major<->sublane transpose (both Mosaic-supported);
   * the K stacked kernels fold into ONE batched aggregation matmul by
     concatenating adjacencies on lanes and features on sublanes.
 
@@ -104,56 +105,49 @@ def _row_mask(nrows: int, tp: int, vp: int, t_real: int, v_real: int):
     return jnp.where(ok, 1.0, 0.0).astype(jnp.float32)
 
 
-def _project(x2, w_ref, b_ref, k):
-    y = jnp.dot(x2, w_ref[k], preferred_element_type=jnp.float32)
-    return y + b_ref[k]
-
-
-def _qk_cols(p, ri, nb, t, vp):
-    """(rows, R) projection -> (nb, node, 1, t) with frames on lanes."""
-    p4 = p[:, ri:ri + 1].reshape(nb, t, vp, 1)
-    return jnp.swapaxes(jnp.swapaxes(p4, 1, 2), 2, 3)     # (nb, vp, 1, t)
-
-
-def _spatial_kernel(x_ref, base_ref, alpha_ref, wf_ref, bf_ref, wm1_ref,
-                    bm1_ref, wm2_ref, bm2_ref, wrm_ref, brm_ref, out_ref,
-                    *, num_kernels: int, agg: str, v_real: int):
+def _spatial_kernel(x_ref, base_ref, alpha_ref, wf_ref, bf_ref, wqk_ref,
+                    bqk_ref, wrm_ref, brm_ref, out_ref,
+                    *, num_kernels: int, red: int, agg: str, v_real: int):
     """Spatial DSTD-GC: per-frame joint graph (reference dstdgcn.py:75-87).
 
     x (nb, T, Vp, Ci) -> out (nb, T, Vp, Co).  Host-prepared weights:
-    wrm (K, R*Ts, To); base (K, Vp_a, Vp_b, 1) already transposed so that
-    the kernel's (a, b) adjacency layout has b = the aggregation's
-    contracted side; brm (K, 1, 1, To).
+    wqk (Ci, K*2R) stacked [q_k0 | k_k0 | q_k1 | ...] panels; wrm
+    (K, R, Ts, To); base (K, Vp_a, Vp_b, 1) already transposed so that the
+    kernel's (a, b) adjacency layout has b = the aggregation's contracted
+    side; brm (K, 1, 1, To).
     """
     nb, t, vp, cin = x_ref.shape
     co = out_ref.shape[-1]
-    r = wm1_ref.shape[-1]
     x2 = x_ref[:].reshape(nb * t * vp, cin)
     alpha = alpha_ref[0, 0]
     jmask = _row_mask(nb * t * vp, t, vp, t, v_real)
 
+    # one stacked correlation projection + ONE relayout to frames-on-lanes
+    qk = jnp.dot(x2, wqk_ref[:], preferred_element_type=jnp.float32) \
+        + bqk_ref[0]
+    qk4 = qk.reshape(nb, t, vp, num_kernels * 2 * red)
+    qk_t = jnp.swapaxes(jnp.swapaxes(qk4, 1, 2), 2, 3)   # (nb, vp, K2R, t)
+
     xfs, adjs = [], []
     for k in range(num_kernels):
-        xf = _project(x2, wf_ref, bf_ref, k) * jmask
-        xfs.append(xf.reshape(nb * t, vp, co))
-        q = _project(x2, wm1_ref, bm1_ref, k)
-        kk = _project(x2, wm2_ref, bm2_ref, k)
-        svs = []
-        for ri in range(r):
-            qv = _qk_cols(q, ri, nb, t, vp)              # (nb, v, 1, Ts)
-            kv = _qk_cols(kk, ri, nb, t, vp)             # (nb, w, 1, Ts)
+        xf = jnp.dot(x2, wf_ref[k], preferred_element_type=jnp.float32) \
+            + bf_ref[k]
+        xfs.append((xf * jmask).reshape(nb * t, vp, co))
+        dyn = None
+        for ri in range(red):
+            qs = qk_t[:, :, k * 2 * red + ri, :]         # (nb, vp, t)
+            ks = qk_t[:, :, k * 2 * red + red + ri, :]
             # scores in (n, a, b, src-frame) layout, b = contracted side:
             # agg "right" contracts the q-side joints (a=w, b=v), "left"
             # the k-side (a=v, b=w) — dstdgcn.py:87 / dstdgcn_fast.py:125
             if agg == "right":
-                s = jnp.tanh(jnp.swapaxes(qv, 1, 2) - kv)
+                s = jnp.tanh(qs[:, None, :, :] - ks[:, :, None, :])
             else:
-                s = jnp.tanh(qv - jnp.swapaxes(kv, 1, 2))
-            svs.append(s)                                # (nb, a, b, Ts)
-        s_cat = svs[0] if r == 1 else jnp.concatenate(svs, axis=3)
-        # ONE flat mixing matmul: (nb*A*B, R*Ts) @ (R*Ts, To)
-        dyn = jnp.dot(s_cat.reshape(nb * vp * vp, r * t), wrm_ref[k],
-                      preferred_element_type=jnp.float32)
+                s = jnp.tanh(qs[:, :, None, :] - ks[:, None, :, :])
+            # mixing factorized over R: (nb*A*B, Ts) @ (Ts, To), f32 accum
+            d = jnp.dot(s.reshape(nb * vp * vp, t), wrm_ref[k, ri],
+                        preferred_element_type=jnp.float32)
+            dyn = d if dyn is None else dyn + d
         adj = dyn.reshape(nb, vp, vp, t)
         adj = (adj + brm_ref[k]) * alpha + base_ref[k][None]
         # re-batch over (n, frame) for the per-frame aggregation
@@ -170,46 +164,49 @@ def _spatial_kernel(x_ref, base_ref, alpha_ref, wf_ref, bf_ref, wm1_ref,
     out_ref[:] = out.reshape(nb, t, vp, co)
 
 
-def _temporal_kernel(x_ref, base_ref, alpha_ref, wf_ref, bf_ref, wm1_ref,
-                     bm1_ref, wm2_ref, bm2_ref, wrm_ref, brm_ref, out_ref,
-                     *, num_kernels: int, agg: str, v_real: int,
+def _temporal_kernel(x_ref, base_ref, alpha_ref, wf_ref, bf_ref, wqk_ref,
+                     bqk_ref, wrm_ref, brm_ref, out_ref,
+                     *, num_kernels: int, red: int, agg: str, v_real: int,
                      t_real: int):
     """Temporal DSTD-GC: per-joint frame graph (reference dstdgcn.py:89-93).
 
     x (nb, Tp, Vp, Ci) -> out (nb, Tp, Vp, Co), frames AND joints padded.
-    Host-prepared weights: wrm (K, R*Vp, Wp) with zero rows/cols for
-    padded joints; base (K, Tp, Tp, 1); brm (K, 1, 1, Wp).
+    Host-prepared weights: wqk (Ci, K*2R); wrm (K, R, Vp, Wp) with zero
+    rows/cols for padded joints; base (K, Tp, Tp, 1); brm (K, 1, 1, Wp).
     """
     nb, tp, vp, cin = x_ref.shape
     co = out_ref.shape[-1]
-    r = wm1_ref.shape[-1]
     x2 = x_ref[:].reshape(nb * tp * vp, cin)
     alpha = alpha_ref[0, 0]
     mask = _row_mask(nb * tp * vp, tp, vp, t_real, v_real)
 
+    # stacked projection; scores want joints-on-lanes, which is ONE
+    # minor-dims transpose of the panel (then every slice is layout-free)
+    qk = jnp.dot(x2, wqk_ref[:], preferred_element_type=jnp.float32) \
+        + bqk_ref[0]
+    qk3 = qk.reshape(nb * tp, vp, num_kernels * 2 * red)
+    qk_t = jnp.swapaxes(qk3, 1, 2)                       # (nb*Tp, K2R, vp)
+
     xfs, adjs = [], []
     for k in range(num_kernels):
-        xf = _project(x2, wf_ref, bf_ref, k) * mask
+        xf = jnp.dot(x2, wf_ref[k], preferred_element_type=jnp.float32) \
+            + bf_ref[k]
+        xf = xf * mask
         # features batched over (n, joint) for the per-joint aggregation
         xf_v = jnp.swapaxes(xf.reshape(nb, tp, vp, co), 1, 2) \
             .reshape(nb * vp, tp, co)
         xfs.append(xf_v)
-        q = _project(x2, wm1_ref, bm1_ref, k)
-        kk = _project(x2, wm2_ref, bm2_ref, k)
-        svs = []
-        for ri in range(r):
+        dyn = None
+        for ri in range(red):
+            qs = qk_t[:, k * 2 * red + ri, :].reshape(nb, tp, vp)
+            ks = qk_t[:, k * 2 * red + red + ri, :].reshape(nb, tp, vp)
             # frame-pair scores in (n, t_q, u_k, joint) layout: the score
-            # joints land on lanes so the joint mixing is one flat matmul
-            q4 = q[:, ri:ri + 1].reshape(nb, tp, vp, 1)
-            k4 = kk[:, ri:ri + 1].reshape(nb, tp, vp, 1)
-            qt = jnp.swapaxes(q4, 2, 3)                  # (nb, Tq, 1, vp)
-            kt = jnp.swapaxes(jnp.swapaxes(k4, 2, 3), 1, 2)  # (nb,1,Tu,vp)
-            svs.append(jnp.tanh(qt - kt))                # (nb, Tq, Tu, vp)
-        s_cat = svs[0] if r == 1 else jnp.concatenate(svs, axis=3)
-        # ONE flat mixing matmul: (nb*Tq*Tu, R*Vp) @ (R*Vp, Wp); padded
-        # score joints are killed by the zero wrm rows
-        dyn = jnp.dot(s_cat.reshape(nb * tp * tp, r * vp), wrm_ref[k],
-                      preferred_element_type=jnp.float32)
+            # joints are on lanes so the joint mixing is a flat matmul
+            s = jnp.tanh(qs[:, :, None, :] - ks[:, None, :, :])
+            # padded score joints are killed by the zero wrm rows
+            d = jnp.dot(s.reshape(nb * tp * tp, vp), wrm_ref[k, ri],
+                        preferred_element_type=jnp.float32)
+            dyn = d if dyn is None else dyn + d
         adj = dyn.reshape(nb, tp, tp, vp)
         adj = (adj + brm_ref[k]) * alpha + base_ref[k][None]
         # re-batch over (n, joint): (nb, t, u, w) -> (nb, w, t, u)
@@ -229,22 +226,31 @@ def _temporal_kernel(x_ref, base_ref, alpha_ref, wf_ref, bf_ref, wm1_ref,
     out_ref[:] = out.reshape(nb, tp, vp, co)
 
 
+def _stack_qk(wm1, bm1, wm2, bm2):
+    """(K, Ci, R) q/k projection weights -> one (Ci, K*2R) panel with
+    column order [q_k0(R) | k_k0(R) | q_k1(R) | ...]."""
+    k = wm1.shape[0]
+    cols = []
+    bcols = []
+    for ki in range(k):
+        cols += [wm1[ki], wm2[ki]]
+        bcols += [bm1[ki], bm2[ki]]
+    return jnp.concatenate(cols, axis=1), \
+        jnp.concatenate(bcols, axis=0)[None, :]
+
+
 def _prep_spatial(base, wrm, brm, vp, tp, agg):
-    k, rr, t, _ = wrm.shape
-    wrm2 = wrm.reshape(k, rr * t, t)
     base_p = _pad_to(_pad_to(base, 1, vp), 2, vp)
     if agg == "right":
         base_p = jnp.swapaxes(base_p, 1, 2)   # (a=w, b=v) kernel layout
-    return base_p[..., None], wrm2, brm[:, None, None, :]
+    return base_p[..., None], wrm, brm[:, None, None, :]
 
 
 def _prep_temporal(base, wrm, brm, vp, tp, agg):
-    k, rr, v, w = wrm.shape
     wrm_p = _pad_to(_pad_to(wrm, 2, vp), 3, vp)
-    wrm2 = wrm_p.reshape(k, rr * vp, vp)
     base_p = _pad_to(_pad_to(base, 1, tp), 2, tp)[..., None]
     brm_p = _pad_to(brm, 1, vp)[:, None, None, :]
-    return base_p, wrm2, brm_p
+    return base_p, wrm_p, brm_p
 
 
 def _pallas_forward(kernel_body, prep, pad_t, x, base, alpha, wf, bf, wm1,
@@ -252,13 +258,15 @@ def _pallas_forward(kernel_body, prep, pad_t, x, base, alpha, wf, bf, wm1,
     n, t, v, cin = x.shape
     k = wf.shape[0]
     co = wf.shape[-1]
+    red = wm1.shape[-1]
     vp = -(-v // 8) * 8
     tp = -(-t // 8) * 8 if pad_t else t
     nb = _block_samples(n)
     x_p = _pad_to(_pad_to(x.astype(jnp.float32), 2, vp), 1, tp)
-    base_p, wrm2, brm_p = prep(base, wrm, brm, vp, tp, agg)
+    base_p, wrm_p, brm_p = prep(base, wrm, brm, vp, tp, agg)
     alpha_arr = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
-    bf2, bm12, bm22 = bf[:, None, :], bm1[:, None, :], bm2[:, None, :]
+    bf2 = bf[:, None, :]
+    wqk, bqk = _stack_qk(wm1, bm1, wm2, bm2)
 
     extra = dict(t_real=t) if pad_t else {}
 
@@ -268,21 +276,21 @@ def _pallas_forward(kernel_body, prep, pad_t, x, base, alpha, wf, bf, wm1,
                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(kernel_body, num_kernels=k, agg=agg, v_real=v,
-                          **extra),
+        functools.partial(kernel_body, num_kernels=k, red=red, agg=agg,
+                          v_real=v, **extra),
         out_shape=jax.ShapeDtypeStruct((n, tp, vp, co), jnp.float32),
         grid=(n // nb,),
         in_specs=[
             pl.BlockSpec((nb, tp, vp, cin), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             vmem_full(base_p), vmem_full(alpha_arr), vmem_full(wf),
-            vmem_full(bf2), vmem_full(wm1), vmem_full(bm12), vmem_full(wm2),
-            vmem_full(bm22), vmem_full(wrm2), vmem_full(brm_p),
+            vmem_full(bf2), vmem_full(wqk), vmem_full(bqk),
+            vmem_full(wrm_p), vmem_full(brm_p),
         ],
         out_specs=pl.BlockSpec((nb, tp, vp, co), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(x_p, base_p, alpha_arr, wf, bf2, wm1, bm12, wm2, bm22, wrm2, brm_p)
+    )(x_p, base_p, alpha_arr, wf, bf2, wqk, bqk, wrm_p, brm_p)
     return out[:, :t, :v, :]
 
 

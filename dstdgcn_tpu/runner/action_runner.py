@@ -191,6 +191,10 @@ class ActionRunner(BaseRunner):
         head = ["action", "avg"] + [str((i + 1) * 40) for i in range(output_n)]
         rows = []
         accum_avg, accum_all, total = 0.0, np.zeros(output_n), 0
+        # setting.save dumps per-action prediction npz files to the
+        # visualize path, as the reference test-all does (runner/h36m.py:317)
+        save_prefix = (cfg["save"]["path"]["visualize"]
+                       if cfg["setting"].get("save") else None)
         for act in test_acts:
             a_avg, a_all = self.engine.test(
                 test_loaders[act], cfg["setting"]["input_n"],
@@ -201,7 +205,8 @@ class ActionRunner(BaseRunner):
                 (np.array(cfg["setting"]["joint_to_equal"])
                  if cfg["setting"].get("joint_to_equal") is not None
                  else None),
-                ds.time_tsfm, ds.scale_tsfm, act)
+                ds.time_tsfm, ds.scale_tsfm, act,
+                (save_prefix + act) if save_prefix else None)
             w = len(test_loaders[act])
             accum_avg += a_avg * w
             accum_all += a_all * w

@@ -49,6 +49,9 @@ class BaseRunner:
                 except NotImplementedError:
                     inc = None
             mesh, data_sharding = self._build_mesh()
+            if config["engine"].get("callbacks"):
+                config["engine"]["callbacks"].setdefault(
+                    "log_dir", config["save"]["path"]["base"])
             self.engine = PredictionEngine(config["engine"], model,
                                            self.logger, bone_incidence=inc,
                                            mesh=mesh,
