@@ -1,18 +1,28 @@
 #!/usr/bin/env python
 """Benchmark harness: edges/s/chip for the DSTD-GC compute path.
 
-Measures the flagship DSTD-GCN forward (full H36M config) on the attached
-chip and reports dynamic-graph edges processed per second — each (frame,
-src-joint, dst-joint) / (joint, src-frame, dst-frame) pair costs one SDDMM
-score plus one SpMM multiply-accumulate, per stacked kernel.
+Measures the flagship DSTD-GCN op chain (full H36M config) and the full
+TRAIN step (2 forwards + backward + Adam, the reference's hot loop,
+engine/prediction.py:215-304) on the attached chip, and reports
+dynamic-graph edges processed per second — each (frame, src-joint,
+dst-joint) / (joint, src-frame, dst-frame) pair costs one SDDMM score plus
+one SpMM multiply-accumulate, per stacked kernel.
 
 ``vs_baseline`` compares against a faithful reference-style implementation
 (channels-first layout, per-kernel Python loop, op-by-op einsums mirroring
 /root/reference/model/dstdgcn.py) jitted on the same chip — i.e. what a
 direct port of the PyTorch graph would give XLA — so the number isolates
-the TPU-first design (channels-last, stacked kernels, fused contractions).
+the TPU-first design (channels-last, stacked kernels, fused whole-chain
+Pallas kernel).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing method: each variant runs inside a jitted fori_loop at TWO
+iteration counts and the reported time is the slope — the tunneled chip's
+~20 ms fixed dispatch cost cancels (measured in scripts/probe_mosaic11;
+single-loop timings overstate per-op cost by ~0.6 ms at 30 iterations).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
+``detail.pct_of_roofline`` is t_floor / t_measured where t_floor =
+max(FLOPs / MXU peak, unavoidable HBM bytes / bandwidth) for the chip.
 """
 
 import json
@@ -27,11 +37,34 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/dstdgcn_tpu/xla"))
 
+# v5e (1 chip = 1 TensorCore): bf16 MXU peak and HBM bandwidth
+PEAK_FLOPS = 197e12
+PEAK_BW = 819e9
+
+RESULT = {
+    "metric": "edges/s/chip (SpMM+SDDMM)", "value": 0.0, "unit": "edges/s",
+    "vs_baseline": 0.0, "detail": {},
+}
+
 
 def _edges_per_forward(n, t, v, num_blocks, k_s=2, k_t=1):
     spatial = k_s * n * t * v * v
     temporal = k_t * n * v * t * t
     return num_blocks * (spatial + temporal)
+
+
+def _flops_per_forward(n, t, v, c, num_blocks, k_s=2, k_t=1, r=2):
+    """Dense-equivalent MXU FLOPs of one op-chain forward (projections +
+    q/k + mixing + aggregation; tanh counted as 0)."""
+    sp = (k_s * n * t * v * c * c * 2            # feature projection
+          + 2 * k_s * n * t * v * c * r * 2      # q/k projections
+          + k_s * n * v * v * (r * t) * t * 2    # frame mixing
+          + k_s * n * t * v * v * c * 2)         # aggregation
+    tm = (k_t * n * t * v * c * c * 2
+          + 2 * k_t * n * t * v * c * r * 2
+          + k_t * n * t * t * (r * v) * v * 2
+          + k_t * n * v * t * t * c * 2)
+    return num_blocks * (sp + tm)
 
 
 def naive_reference_forward(params_list, x_ncTV):
@@ -118,65 +151,127 @@ def _naive_params(rng, num_blocks, c, t, v, k_s=2, k_t=1):
     return out
 
 
+def _chain_blocks(params_list):
+    """bench param dicts -> fused.dstd_chain blocks_params tuples."""
+    out = []
+    for p in params_list:
+        out.append((
+            (p["base_s"], p["alpha_s"], p["wf_s"], p["bf_s"], p["wm1_s"],
+             p["bm1_s"], p["wm2_s"], p["bm2_s"], p["wrm_s"], p["brm_s"]),
+            (p["base_t"], p["alpha_t"], p["wf_t"], p["bf_t"], p["wm1_t"],
+             p["bm1_t"], p["wm2_t"], p["bm2_t"], p["wrm_t"], p["brm_t"]),
+        ))
+    return out
+
+
 def stacked_forward(params_list, x_ntvc, use_fused=False, dtype=None,
-                    pair_flat=False):
+                    pair_flat=False, agg_group_s=None, agg_group_t=None,
+                    agg="right"):
     """Our TPU-first path: stacked-kernel contractions — XLA einsum
-    formulation (ops.dstd, optionally with bf16 activation flow and/or
-    flat pair-lane score layout) or the fused whole-op Pallas kernels."""
+    formulation (ops.dstd, optionally with bf16 activation flow, flat
+    pair-lane layout and/or block-diagonal grouped aggregation) or the
+    fused whole-op Pallas kernels."""
+    import jax.numpy as jnp
+
     if use_fused:
         from dstdgcn_tpu.kernels import fused as ops
-        kw = {}
+        kw_s = kw_t = {"agg": agg}
     else:
         from dstdgcn_tpu.ops import dstd as ops
-        kw = {"dtype": dtype, "pair_flat": pair_flat}
-
-    import jax.numpy as jnp
+        kw_s = {"dtype": dtype, "pair_flat": pair_flat, "agg": agg,
+                "agg_group": agg_group_s}
+        kw_t = {"dtype": dtype, "pair_flat": pair_flat, "agg": agg,
+                "agg_group": agg_group_t}
 
     x = x_ntvc
     for p in params_list:
         x = ops.dstd_spatial(x, p["base_s"], p["alpha_s"], p["wf_s"],
                              p["bf_s"], p["wm1_s"], p["bm1_s"], p["wm2_s"],
-                             p["bm2_s"], p["wrm_s"], p["brm_s"], **kw)
+                             p["bm2_s"], p["wrm_s"], p["brm_s"], **kw_s)
         x = ops.dstd_temporal(x, p["base_t"], p["alpha_t"], p["wf_t"],
                               p["bf_t"], p["wm1_t"], p["bm1_t"], p["wm2_t"],
-                              p["bm2_t"], p["wrm_t"], p["brm_t"], **kw)
+                              p["bm2_t"], p["wrm_t"], p["brm_t"], **kw_t)
     return x.astype(jnp.float32) if x.dtype != jnp.float32 else x
 
 
-def _time(fn, *args, iters=20, warmup=3):
-    import jax
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
-
-
-def _time_looped(op, x0, iters=50):
-    """Device-only per-op time: the op iterated inside ONE jitted fori_loop
-    with the output carried directly (shape-preserving ops only).  NB: a
-    `0.0 * op(acc)` carry is NOT safe — XLA can algebraically fold the
-    multiply and skip the op entirely (observed on TPU)."""
+def _loop_total(op, x0, iters):
     import jax
 
     def f(x):
-        def body(i, acc):
-            return op(acc)
-        return jax.lax.fori_loop(0, iters, body, x)
+        return jax.lax.fori_loop(0, iters, lambda i, acc: op(acc), x)
 
     jf = jax.jit(f)
     jax.block_until_ready(jf(x0))
-    t0 = time.perf_counter()
-    out = jf(x0)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jf(x0))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _time_slope(op, x0, i1=5, i2=25):
+    """Marginal per-op seconds: two-point slope cancels the tunneled
+    chip's fixed per-dispatch overhead (scripts/probe_mosaic11)."""
+    t1 = _loop_total(op, x0, i1)
+    t2 = _loop_total(op, x0, i2)
+    return max((t2 - t1) / (i2 - i1), 1e-9)
+
+
+def bench_train_step(n_batch, use_pallas):
+    """Full training step on the flagship model: 2 train-mode forwards
+    (inverse-sequence training) + backward + Adam, via the real engine
+    step (reference hot loop: engine/prediction.py:215-304)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dstdgcn_tpu.engine import PredictionEngine
+    from dstdgcn_tpu.models import DSTDGCN
+
+    model = DSTDGCN(input_channels=6, input_time_frame=10,
+                    output_time_frame=25, st_gcnn_dropout=0.1,
+                    joints_to_consider=22, num_feature=64, num_layers=5,
+                    layout="h36m", use_pallas=use_pallas)
+    cfg = dict(learn=dict(opt="adam", lr=3e-3, weight_decay=0, gamma=0.96,
+                          step_size=5),
+               loss=dict(joint=["jl2", 1]), n_out=1, transform="tsc",
+               use_weight=False, inverse=True, max_iter=-1)
+    eng = PredictionEngine(cfg, model)
+    rng = np.random.RandomState(0)
+    inputs = jnp.asarray(rng.randn(n_batch, 35, 66), jnp.float32)
+    inputs_inv = inputs[:, ::-1]
+    targets = jnp.asarray(rng.randn(n_batch, 35, 66), jnp.float32)
+    eng.init(np.asarray(inputs[:1]))
+    step = eng._build_train_step(None, None, None)
+    lr = jnp.asarray(3e-3, jnp.float32)
+
+    # state-carried loop: donation keeps it device-resident
+    def run(iters):
+        import jax as _j
+
+        def f(state):
+            def body(i, s):
+                s2, _ = step(s, inputs, inputs_inv, targets, lr)
+                return s2
+            return _j.lax.fori_loop(0, iters, body, state)
+
+        jf = _j.jit(f)
+        s = jf(eng.state)
+        _j.block_until_ready(s)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _j.block_until_ready(jf(eng.state))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    i1, i2 = 3, 13
+    sec = max((run(i2) - run(i1)) / (i2 - i1), 1e-9)
+    return sec
 
 
 def bench_sparse_kernels():
     """Pallas blocked SDDMM+SpMM vs dense XLA on a large sparse graph."""
-    import jax
     import jax.numpy as jnp
 
     from dstdgcn_tpu.kernels import sparse
@@ -199,11 +294,11 @@ def bench_sparse_kernels():
     mask = jnp.asarray(np.kron(fixed, np.ones((block, block)))
                        .astype(np.float32))
 
-    t_sp = _time_looped(
+    t_sp = _time_slope(
         lambda xx: sparse.block_sddmm_spmm(q, k, w, xx, rows, cols, block),
-        x)
-    t_de = _time_looped(
-        lambda xx: sparse.sddmm_spmm_dense(q, k, w, xx, mask), x)
+        x, 10, 50)
+    t_de = _time_slope(
+        lambda xx: sparse.sddmm_spmm_dense(q, k, w, xx, mask), x, 10, 50)
     edges = len(rows) * block * block * n
     return {
         "graph_nodes": v,
@@ -234,74 +329,116 @@ def main():
     params = _naive_params(rng, blocks, c, t, v)
     x_ntvc = jnp.asarray(rng.randn(n, t, v, c).astype(np.float32))
     x_nctv = jnp.transpose(x_ntvc, (0, 3, 1, 2))
+    detail = RESULT["detail"]
+    detail["device"] = str(jax.devices()[0])
+    detail.update(batch=n, frames=t, joints=v, channels=c, blocks=blocks)
 
     try:
         from dstdgcn_tpu.kernels import fused  # noqa: F401
         kernels_available = fused.available()
     except Exception:
         kernels_available = False
-
-    t_xla = _time_looped(lambda xx: stacked_forward(params, xx), x_ntvc,
-                         iters=30)
-    t_naive = _time_looped(lambda xx: naive_reference_forward(params, xx),
-                           x_nctv, iters=30)
-    import jax.numpy as jnp
-    t_bf16 = _time_looped(
-        lambda xx: stacked_forward(params, xx, dtype=jnp.bfloat16),
-        x_ntvc, iters=30)
-    t_flat16 = _time_looped(
-        lambda xx: stacked_forward(params, xx, dtype=jnp.bfloat16,
-                                   pair_flat=True),
-        x_ntvc, iters=30)
-    t_fused = None
-    if kernels_available:
-        try:
-            t_fused = _time_looped(
-                lambda xx: stacked_forward(params, xx, use_fused=True),
-                x_ntvc, iters=30)
-        except Exception:
-            t_fused = None
-    t_ours = min([t for t in (t_xla, t_bf16, t_flat16, t_fused)
-                  if t is not None])
+    detail["pallas_kernels"] = bool(kernels_available)
 
     edges = _edges_per_forward(n, t, v, blocks)
-    eps_ours = edges / t_ours
-    eps_naive = edges / t_naive
+    flops = _flops_per_forward(n, t, v, c, blocks)
+    t_floor = max(flops / PEAK_FLOPS,
+                  2 * x_ntvc.size * 4 / PEAK_BW)   # read x + write out once
+    detail["roofline_floor_ms"] = round(t_floor * 1e3, 4)
+    detail["gflop_per_forward"] = round(flops / 1e9, 2)
+
+    def measure(name, fn, x0, i1=5, i2=25):
+        try:
+            sec = _time_slope(fn, x0, i1, i2)
+            detail[name] = round(sec * 1e3, 3)
+            return sec
+        except Exception as e:
+            detail[name] = f"{type(e).__name__}: {str(e)[:120]}"
+            return None
+
+    t_naive = measure("step_ms_reference_style",
+                      lambda xx: naive_reference_forward(params, xx), x_nctv)
+    candidates = {}
+    candidates["xla"] = measure("step_ms_xla",
+                                lambda xx: stacked_forward(params, xx),
+                                x_ntvc)
+    candidates["xla_bd_bf16"] = measure(
+        "step_ms_xla_bd_bf16",
+        lambda xx: stacked_forward(params, xx, dtype=jnp.bfloat16,
+                                   agg_group_s=5, agg_group_t=3), x_ntvc)
+    if kernels_available:
+        candidates["fused_per_op"] = measure(
+            "step_ms_fused_pallas",
+            lambda xx: stacked_forward(params, xx, use_fused=True), x_ntvc)
+        cb = _chain_blocks(params)
+        from dstdgcn_tpu.kernels import fused as fk
+        candidates["fused_chain"] = measure(
+            "step_ms_fused_chain_kernel",
+            lambda xx: fk.dstd_chain(xx, cb), x_ntvc)
+
+    ok = {k_: v_ for k_, v_ in candidates.items() if v_ is not None}
+    if ok and t_naive:
+        best_name = min(ok, key=ok.get)
+        t_ours = ok[best_name]
+        detail["step_ms_ours"] = round(t_ours * 1e3, 3)
+        detail["ours_variant"] = best_name
+        detail["pct_of_roofline"] = round(100 * t_floor / t_ours, 2)
+        detail["achieved_tflops"] = round(flops / t_ours / 1e12, 3)
+        RESULT["value"] = round(edges / t_ours, 1)
+        RESULT["vs_baseline"] = round(t_naive / t_ours, 4)
+        _save_last_good()
+
+    # fast-variant (agg="left", fully-learnable A_s) large-batch entry
+    try:
+        n_fast = 256
+        x_fast = jnp.asarray(rng.randn(n_fast, t, v, c).astype(np.float32))
+        sec = _time_slope(
+            lambda xx: stacked_forward(params, xx, dtype=jnp.bfloat16,
+                                       agg_group_s=5, agg_group_t=3,
+                                       agg="left"), x_fast, 5, 25)
+        detail["fast_variant_n256_ms"] = round(sec * 1e3, 3)
+        detail["fast_variant_edges_per_s"] = round(
+            _edges_per_forward(n_fast, t, v, blocks) / sec, 1)
+    except Exception as e:
+        detail["fast_variant_n256_ms"] = f"{type(e).__name__}: {str(e)[:90]}"
+    _save_last_good()
+
+    # full TRAIN step on the flagship model (the reference's hot loop)
+    for nb_, pallas_ in ((32, False), (128, False), (128, True)):
+        key = f"train_step_ms_b{nb_}" + ("_pallas" if pallas_ else "")
+        try:
+            sec = bench_train_step(nb_, pallas_)
+            detail[key] = round(sec * 1e3, 3)
+            if nb_ == 128 and not pallas_:
+                # edges trained/s: both train-mode forwards count
+                detail["train_edges_per_s"] = round(
+                    2 * _edges_per_forward(nb_, t, v, blocks) / sec, 1)
+        except Exception as e:
+            detail[key] = f"{type(e).__name__}: {str(e)[:120]}"
+        _save_last_good()
 
     try:
-        sparse_detail = bench_sparse_kernels()
+        detail["sparse_kernel_large_graph"] = bench_sparse_kernels()
     except Exception as e:  # keep the headline metric robust
-        sparse_detail = {"error": f"{type(e).__name__}: {e}"}
+        detail["sparse_kernel_large_graph"] = {
+            "error": f"{type(e).__name__}: {e}"}
 
-    result = {
-        "metric": "edges/s/chip (SpMM+SDDMM)",
-        "value": round(eps_ours, 1),
-        "unit": "edges/s",
-        "vs_baseline": round(eps_ours / eps_naive, 4),
-        "detail": {
-            "step_ms_ours": round(t_ours * 1e3, 3),
-            "step_ms_xla": round(t_xla * 1e3, 3),
-            "step_ms_xla_bf16": round(t_bf16 * 1e3, 3),
-            "step_ms_xla_flat_bf16": round(t_flat16 * 1e3, 3),
-            "step_ms_fused_pallas": (None if t_fused is None
-                                     else round(t_fused * 1e3, 3)),
-            "step_ms_reference_style": round(t_naive * 1e3, 3),
-            "batch": n, "frames": t, "joints": v, "channels": c,
-            "blocks": blocks, "pallas_kernels": bool(kernels_available),
-            "sparse_kernel_large_graph": sparse_detail,
-            "device": str(jax.devices()[0]),
-        },
-    }
-    try:
-        with open(_LAST_GOOD, "w") as f:
-            json.dump(result, f)
-    except OSError:
-        pass
-    print(json.dumps(result))
+    _save_last_good()
+    print(json.dumps(RESULT))
 
 
 _LAST_GOOD = os.path.join(os.path.dirname(
     os.environ["JAX_COMPILATION_CACHE_DIR"]), "last_bench.json")
+
+
+def _save_last_good():
+    if not RESULT["value"]:
+        return
+    try:
+        with open(_LAST_GOOD, "w") as f:
+            json.dump(RESULT, f)
+    except OSError:
+        pass
 
 
 def _emit_last_good(reason: str) -> bool:
@@ -319,7 +456,7 @@ def _emit_last_good(reason: str) -> bool:
 if __name__ == "__main__":
     # The tunneled-TPU compile service is sometimes degraded (compiles that
     # normally take ~30 s can exceed 10 min).  Bound the run and fall back
-    # to the last good measurement rather than producing nothing.
+    # to the newest partial/last good measurement rather than nothing.
     import signal
 
     class _Timeout(Exception):
@@ -329,17 +466,23 @@ if __name__ == "__main__":
         raise _Timeout()
 
     signal.signal(signal.SIGALRM, _on_alarm)
-    signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "480")))
+    signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "1500")))
     try:
         main()
         signal.alarm(0)
     except _Timeout:
-        if not _emit_last_good("compile-service timeout; last good result"):
+        if RESULT["value"]:
+            RESULT["detail"]["stale"] = "bench timed out; partial results"
+            print(json.dumps(RESULT))
+        elif not _emit_last_good("compile-service timeout; last good result"):
             print(json.dumps({
                 "metric": "edges/s/chip (SpMM+SDDMM)", "value": 0,
                 "unit": "edges/s", "vs_baseline": 0,
                 "detail": {"error": "bench timed out and no cached result"},
             }))
     except Exception as e:
-        if not _emit_last_good(f"bench error: {type(e).__name__}: {e}"):
+        if RESULT["value"]:
+            RESULT["detail"]["stale"] = f"bench error: {type(e).__name__}: {e}"
+            print(json.dumps(RESULT))
+        elif not _emit_last_good(f"bench error: {type(e).__name__}: {e}"):
             raise

@@ -58,7 +58,7 @@ try:
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
-__all__ = ["dstd_spatial", "dstd_temporal", "available"]
+__all__ = ["dstd_spatial", "dstd_temporal", "dstd_chain", "available"]
 
 
 def available() -> bool:
@@ -294,7 +294,7 @@ def _pallas_forward(kernel_body, prep, pad_t, x, base, alpha, wf, bf, wm1,
     return out[:, :t, :v, :]
 
 
-def _make_op(kernel_body, prep, pad_t, oracle_fn):
+def _make_op(kernel_body, prep, pad_t, oracle_fn, pallas_bwd_name):
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
     def op(x, base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
@@ -311,6 +311,13 @@ def _make_op(kernel_body, prep, pad_t, oracle_fn):
         return out, (x, base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm)
 
     def bwd(mask, agg, res, g):
+        use_pallas_bwd = (mask is None and available() and
+                          os.environ.get("DSTDGCN_PALLAS_BWD", "1") == "1")
+        if use_pallas_bwd:
+            # hand-derived whole-op backward kernel: dx + every weight
+            # grad in one VMEM pass (kernels/fused_bwd.py)
+            from . import fused_bwd
+            return getattr(fused_bwd, pallas_bwd_name)(res, g, agg)
         # exact gradients via the oracle formulation (XLA backward)
         def f(*args):
             return oracle_fn(*args, mask, agg)
@@ -322,6 +329,222 @@ def _make_op(kernel_body, prep, pad_t, oracle_fn):
 
 
 dstd_spatial = _make_op(_spatial_kernel, _prep_spatial, False,
-                        oracle.dstd_spatial)
+                        oracle.dstd_spatial, "spatial_bwd")
 dstd_temporal = _make_op(_temporal_kernel, _prep_temporal, True,
-                         oracle.dstd_temporal)
+                         oracle.dstd_temporal, "temporal_bwd")
+
+
+# ---------------------------------------------------------------- chain --
+#
+# Whole-chain kernel: B alternating (spatial, temporal) DSTD-GC ops in ONE
+# pallas_call.  Stage ablation on a v5e (scripts/probe_mosaic9/11/13) shows
+# the per-op fused kernels are dominated by their grid pipeline — pad, DMA
+# in, DMA out, slice — not by compute (the temporal op's identity-copy
+# floor is ~86% of its total).  Fusing the chain pays that pipeline ONCE:
+# activations stay in VMEM across all ops, weights for every block are
+# VMEM-resident, and the block loop is a fori_loop so the Mosaic program
+# stays small.  Frames and joints are padded throughout; each op's row
+# mask keeps padded rows zero, and zero-padded wrm rows/cols kill padded
+# source frames/joints in the mixing (same construction the per-op
+# kernels use, golden-tested vs the oracle chain).
+
+
+def _spatial_body(x2, b, nb, tp, vp, cin, jmask, ks, red, agg,
+                  base_ref, alpha_ref, wf_ref, bf_ref, wqk_ref, bqk_ref,
+                  wrm_ref, brm_ref):
+    co = wf_ref.shape[-1]
+    alpha = alpha_ref[b, 0]
+    qk = jnp.dot(x2, wqk_ref[b], preferred_element_type=jnp.float32) \
+        + bqk_ref[b]
+    qk4 = qk.reshape(nb, tp, vp, ks * 2 * red)
+    qk_t = jnp.swapaxes(jnp.swapaxes(qk4, 1, 2), 2, 3)   # (nb, vp, K2R, tp)
+    xfs, adjs = [], []
+    for k in range(ks):
+        xf = jnp.dot(x2, wf_ref[b, k], preferred_element_type=jnp.float32) \
+            + bf_ref[b, k]
+        xfs.append((xf * jmask).reshape(nb * tp, vp, co))
+        dyn = None
+        for ri in range(red):
+            qs = qk_t[:, :, k * 2 * red + ri, :]
+            kk = qk_t[:, :, k * 2 * red + red + ri, :]
+            if agg == "right":
+                s = jnp.tanh(qs[:, None, :, :] - kk[:, :, None, :])
+            else:
+                s = jnp.tanh(qs[:, :, None, :] - kk[:, None, :, :])
+            d = jnp.dot(s.reshape(nb * vp * vp, tp), wrm_ref[b, k, ri],
+                        preferred_element_type=jnp.float32)
+            dyn = d if dyn is None else dyn + d
+        adj = dyn.reshape(nb, vp, vp, tp)
+        adj = (adj + brm_ref[b, k]) * alpha + base_ref[b, k][None]
+        adj = jnp.swapaxes(jnp.swapaxes(adj, 2, 3), 1, 2)
+        adjs.append(adj.reshape(nb * tp, vp, vp))
+    adj_cat = adjs[0] if ks == 1 else jnp.concatenate(adjs, axis=2)
+    xf_cat = xfs[0] if ks == 1 else jnp.concatenate(xfs, axis=1)
+    out = jax.lax.dot_general(adj_cat, xf_cat, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    return out.reshape(nb * tp * vp, co) * jmask
+
+
+def _temporal_body(x2, b, nb, tp, vp, cin, jmask, kt, red, agg,
+                   base_ref, alpha_ref, wf_ref, bf_ref, wqk_ref, bqk_ref,
+                   wrm_ref, brm_ref):
+    co = wf_ref.shape[-1]
+    alpha = alpha_ref[b, 0]
+    qk = jnp.dot(x2, wqk_ref[b], preferred_element_type=jnp.float32) \
+        + bqk_ref[b]
+    qk3 = qk.reshape(nb * tp, vp, kt * 2 * red)
+    qk_t = jnp.swapaxes(qk3, 1, 2)                       # (nb*Tp, K2R, vp)
+    xfs, adjs = [], []
+    for k in range(kt):
+        xf = jnp.dot(x2, wf_ref[b, k], preferred_element_type=jnp.float32) \
+            + bf_ref[b, k]
+        xf = xf * jmask
+        xf_v = jnp.swapaxes(xf.reshape(nb, tp, vp, co), 1, 2) \
+            .reshape(nb * vp, tp, co)
+        xfs.append(xf_v)
+        dyn = None
+        for ri in range(red):
+            qs = qk_t[:, k * 2 * red + ri, :].reshape(nb, tp, vp)
+            kk = qk_t[:, k * 2 * red + red + ri, :].reshape(nb, tp, vp)
+            s = jnp.tanh(qs[:, :, None, :] - kk[:, None, :, :])
+            d = jnp.dot(s.reshape(nb * tp * tp, vp), wrm_ref[b, k, ri],
+                        preferred_element_type=jnp.float32)
+            dyn = d if dyn is None else dyn + d
+        adj = dyn.reshape(nb, tp, tp, vp)
+        adj = (adj + brm_ref[b, k]) * alpha + base_ref[b, k][None]
+        adj = jnp.swapaxes(jnp.swapaxes(adj, 2, 3), 1, 2)
+        adj_v = adj.reshape(nb * vp, tp, tp)
+        if agg == "right":
+            adj_v = jnp.swapaxes(adj_v, 1, 2)
+        adjs.append(adj_v)
+    adj_cat = adjs[0] if kt == 1 else jnp.concatenate(adjs, axis=2)
+    xf_cat = xfs[0] if kt == 1 else jnp.concatenate(xfs, axis=1)
+    out_v = jax.lax.dot_general(adj_cat, xf_cat, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+    out = jnp.swapaxes(out_v.reshape(nb, vp, tp, co), 1, 2)
+    return out.reshape(nb * tp * vp, co) * jmask
+
+
+def _chain_kernel(x_ref, sb_ref, sa_ref, swf_ref, sbf_ref, swqk_ref,
+                  sbqk_ref, swrm_ref, sbrm_ref, tb_ref, ta_ref, twf_ref,
+                  tbf_ref, twqk_ref, tbqk_ref, twrm_ref, tbrm_ref, out_ref,
+                  *, blocks, ks, kt, red, agg, v_real, t_real,
+                  unroll: bool = False):
+    nb, tp, vp, cin = x_ref.shape
+    jmask = _row_mask(nb * tp * vp, tp, vp, t_real, v_real)
+    x2 = x_ref[:].reshape(nb * tp * vp, cin) * jmask
+
+    def body(b, x2):
+        y2 = _spatial_body(x2, b, nb, tp, vp, cin, jmask, ks, red, agg,
+                           sb_ref, sa_ref, swf_ref, sbf_ref, swqk_ref,
+                           sbqk_ref, swrm_ref, sbrm_ref)
+        return _temporal_body(y2, b, nb, tp, vp, cin, jmask, kt, red, agg,
+                              tb_ref, ta_ref, twf_ref, tbf_ref, twqk_ref,
+                              tbqk_ref, twrm_ref, tbrm_ref)
+
+    if unroll:
+        for b in range(blocks):
+            x2 = body(b, x2)
+    else:
+        x2 = jax.lax.fori_loop(0, blocks, body, x2)
+    out_ref[:] = x2.reshape(nb, tp, vp, cin)
+
+
+def _chain_pallas(x, blocks_params, agg):
+    n, t, v, cin = x.shape
+    vp, tp = -(-v // 8) * 8, -(-t // 8) * 8
+    nb = _block_samples(n)
+    sp0, tp0 = blocks_params[0]
+    ks, kt, red = sp0[2].shape[0], tp0[2].shape[0], sp0[4].shape[-1]
+
+    def stack(prep):
+        return [jnp.stack(a) for a in zip(*[prep(s, tt)
+                                            for s, tt in blocks_params])]
+
+    def prep_s(s, _):
+        base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm = s
+        base_p = _pad_to(_pad_to(base, 1, vp), 2, vp)
+        if agg == "right":
+            base_p = jnp.swapaxes(base_p, 1, 2)
+        wqk, bqk = _stack_qk(wm1, bm1, wm2, bm2)
+        # pad source/output frames with zero wrm rows/cols: padded frames
+        # contribute nothing and get base-only adjacencies over zero xf
+        wrm_p = _pad_to(_pad_to(wrm, 2, tp), 3, tp)
+        brm_p = _pad_to(brm, 1, tp)[:, None, None, :]
+        return (base_p[..., None], jnp.asarray(alpha, jnp.float32)
+                .reshape(1), wf, bf[:, None, :], wqk, bqk, wrm_p, brm_p)
+
+    def prep_t(_, s):
+        base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm = s
+        wqk, bqk = _stack_qk(wm1, bm1, wm2, bm2)
+        wrm_p = _pad_to(_pad_to(wrm, 2, vp), 3, vp)
+        base_p = _pad_to(_pad_to(base, 1, tp), 2, tp)[..., None]
+        brm_p = _pad_to(brm, 1, vp)[:, None, None, :]
+        return (base_p, jnp.asarray(alpha, jnp.float32).reshape(1),
+                wf, bf[:, None, :], wqk, bqk, wrm_p, brm_p)
+
+    s_args = stack(lambda s, tt: prep_s(s, tt))
+    t_args = stack(lambda s, tt: prep_t(s, tt))
+    x_p = _pad_to(_pad_to(x.astype(jnp.float32), 2, vp), 1, tp)
+
+    def vmem_full(a):
+        nd = a.ndim
+        return pl.BlockSpec(a.shape, lambda i, _n=nd: (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    # unrolled block loop by default: a fori_loop body with dynamically
+    # indexed VMEM weight slices crashes the Mosaic compile helper (bisected
+    # in scripts/probe_mosaic14 / chain_bisect); the unrolled 7-block
+    # program compiles fine
+    unroll = os.environ.get("DSTDGCN_CHAIN_UNROLL", "1") == "1"
+    out = pl.pallas_call(
+        functools.partial(_chain_kernel, blocks=len(blocks_params), ks=ks,
+                          kt=kt, red=red, agg=agg, v_real=v, t_real=t,
+                          unroll=unroll),
+        out_shape=jax.ShapeDtypeStruct((n, tp, vp, cin), jnp.float32),
+        grid=(n // nb,),
+        in_specs=[pl.BlockSpec((nb, tp, vp, cin), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [vmem_full(a) for a in s_args + t_args],
+        out_specs=pl.BlockSpec((nb, tp, vp, cin), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(x_p, *s_args, *t_args)
+    return out[:, :t, :v, :]
+
+
+def _chain_oracle(x, blocks_params, agg):
+    for s_args, t_args in blocks_params:
+        x = oracle.dstd_spatial(x, *s_args, agg=agg)
+        x = oracle.dstd_temporal(x, *t_args, agg=agg)
+    return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def dstd_chain(x, blocks_params, agg="right"):
+    """B-block (spatial, temporal) DSTD-GC chain as ONE fused kernel.
+
+    ``blocks_params``: list of ``(spatial_args, temporal_args)`` tuples,
+    each a 10-tuple ``(base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm)``
+    (the :func:`dstd_spatial` / :func:`dstd_temporal` argument order).
+    Requires constant channel width across the chain.  Matches running the
+    per-op chain (reference model/dstdgcn.py:145-161 applied B times);
+    gradients replay the oracle chain.
+    """
+    if not available():
+        return _chain_oracle(x, blocks_params, agg)
+    return _chain_pallas(x, blocks_params, agg)
+
+
+def _chain_fwd(x, blocks_params, agg):
+    return dstd_chain(x, blocks_params, agg), (x, blocks_params)
+
+
+def _chain_bwd(agg, res, g):
+    x, blocks_params = res
+    _, vjp = jax.vjp(lambda xx, ps: _chain_oracle(xx, ps, agg), x,
+                     blocks_params)
+    return vjp(g)
+
+
+dstd_chain.defvjp(_chain_fwd, _chain_bwd)

@@ -1,0 +1,365 @@
+"""Hand-derived Pallas backward kernels for the fused DSTD-GC ops.
+
+One kernel per op computes dL/dx AND every weight gradient in a single
+pass over the batch: forward intermediates (projections, scores, dynamic
+adjacency) are recomputed in VMEM from the saved input — they never lived
+in HBM during the forward either — and the weight gradients accumulate
+across grid programs into constant-index outputs (the TPU grid executes
+sequentially on the single TensorCore, so read-modify-write is safe).
+
+Replaces the round-1 "replay the XLA oracle" VJP (VERDICT weak #3): that
+backward re-materialized the padded score/adjacency tensors in HBM twice
+(forward replay + backward), paying the exact traffic the fused forward
+exists to avoid.
+
+Gradient notes (why no extra masking is needed beyond the forward's):
+``dA = g @ xf^T`` is automatically zero at padded joint/frame rows because
+``g`` (the forward output was masked, so its cotangent is masked here) and
+``xf`` (masked in the recompute) are zero there; everything downstream of
+``dA`` (ddyn, dscores, dq/dk) therefore carries no padded contributions,
+and the input-side products ``x^T @ (...)`` kill padded rows through the
+zero-padded ``x``.  The one explicit mask is on ``dxf`` (the forward
+masked xf AFTER the projection, so the projection's cotangent is masked).
+
+Shapes/layouts mirror :mod:`dstdgcn_tpu.kernels.fused` exactly; reference
+semantics: /root/reference/model/dstdgcn.py:53-94 (autograd of).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import fused as _f
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+__all__ = ["spatial_bwd", "temporal_bwd"]
+
+
+def _rowsum(a):
+    """(rows, c) -> (1, c) sum over rows."""
+    return jnp.sum(a, axis=0, keepdims=True)
+
+
+def _contract_rows(a, b):
+    """(rows, m) x (rows, n) -> (m, n)."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _spatial_bwd_kernel(x_ref, g_ref, base_ref, alpha_ref, wf_ref, bf_ref,
+                        wqk_ref, bqk_ref, wrm_ref, brm_ref,
+                        dx_ref, dwf_ref, dbf_ref, dwqk_ref, dbqk_ref,
+                        dwrm_ref, dbrm_ref, dbase_ref, dalpha_ref,
+                        *, num_kernels: int, red: int, agg: str,
+                        v_real: int):
+    nb, t, vp, cin = x_ref.shape
+    co = g_ref.shape[-1]
+    k2r = num_kernels * 2 * red
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (dwf_ref, dbf_ref, dwqk_ref, dbqk_ref, dwrm_ref,
+                    dbrm_ref, dbase_ref, dalpha_ref):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    rows = nb * t * vp
+    x2 = x_ref[:].reshape(rows, cin)
+    alpha = alpha_ref[0, 0]
+    jmask = _f._row_mask(rows, t, vp, t, v_real)
+    g2 = g_ref[:].reshape(rows, co) * jmask
+
+    # recompute the stacked q/k panel in scores layout (as the forward)
+    qk = jnp.dot(x2, wqk_ref[:], preferred_element_type=jnp.float32) \
+        + bqk_ref[0]
+    qk_t = jnp.swapaxes(jnp.swapaxes(
+        qk.reshape(nb, t, vp, k2r), 1, 2), 2, 3)         # (nb, vp, K2R, t)
+
+    g3 = g2.reshape(nb * t, vp, co)
+    dx = None
+    dalpha = jnp.zeros((), jnp.float32)
+    dqk_cols = [None] * k2r
+    for k in range(num_kernels):
+        xf = (jnp.dot(x2, wf_ref[k], preferred_element_type=jnp.float32)
+              + bf_ref[k]) * jmask
+        xf3 = xf.reshape(nb * t, vp, co)
+        # recompute scores + dynamic adjacency (pre brm/alpha/base)
+        s_list, dyn = [], None
+        for ri in range(red):
+            qs = qk_t[:, :, k * 2 * red + ri, :]
+            ks = qk_t[:, :, k * 2 * red + red + ri, :]
+            if agg == "right":
+                s = jnp.tanh(qs[:, None, :, :] - ks[:, :, None, :])
+            else:
+                s = jnp.tanh(qs[:, :, None, :] - ks[:, None, :, :])
+            s_list.append(s)
+            d = jnp.dot(s.reshape(nb * vp * vp, t), wrm_ref[k, ri],
+                        preferred_element_type=jnp.float32)
+            dyn = d if dyn is None else dyn + d
+        dyn4 = dyn.reshape(nb, vp, vp, t)                # (nb, a, b, to)
+        adj4 = (dyn4 + brm_ref[k]) * alpha + base_ref[k][None]
+        adjb = jnp.swapaxes(jnp.swapaxes(adj4, 2, 3), 1, 2) \
+            .reshape(nb * t, vp, vp)                     # (nt, a, b)
+
+        # aggregation backward: out = A @ xf (contract b)
+        dxf = jax.lax.dot_general(adjb, g3, (((1,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        dxf2 = dxf.reshape(rows, co) * jmask
+        dwf_ref[k, :, :] += _contract_rows(x2, dxf2)
+        dbf_ref[k, :, :] += _rowsum(dxf2)
+        dxk = jax.lax.dot_general(dxf2, wf_ref[k], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dx = dxk if dx is None else dx + dxk
+
+        dA = jax.lax.dot_general(g3, xf3, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dbase_ref[k, :, :] += jnp.sum(dA, axis=0)        # kernel layout
+        dA4 = jnp.swapaxes(jnp.swapaxes(
+            dA.reshape(nb, t, vp, vp), 1, 2), 2, 3)      # (nb, a, b, to)
+        dalpha = dalpha + jnp.sum(dA4 * (dyn4 + brm_ref[k]))
+        dbrm_ref[k, :, :] += alpha * _rowsum(
+            dA4.reshape(nb * vp * vp, t))
+        ddyn = (alpha * dA4).reshape(nb * vp * vp, t)
+        for ri in range(red):
+            s = s_list[ri]
+            s_flat = s.reshape(nb * vp * vp, t)
+            dwrm_ref[k, ri, :, :] += _contract_rows(s_flat, ddyn)
+            ds = jax.lax.dot_general(
+                ddyn, wrm_ref[k, ri], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            du = ds.reshape(nb, vp, vp, t) * (1.0 - s * s)
+            if agg == "right":                # s = q[b] - k[a]
+                dqs, dks = jnp.sum(du, axis=1), -jnp.sum(du, axis=2)
+            else:                             # s = q[a] - k[b]
+                dqs, dks = jnp.sum(du, axis=2), -jnp.sum(du, axis=1)
+            dqk_cols[k * 2 * red + ri] = dqs[:, :, None, :]
+            dqk_cols[k * 2 * red + red + ri] = dks[:, :, None, :]
+
+    dqk_t = dqk_cols[0] if k2r == 1 else jnp.concatenate(dqk_cols, axis=2)
+    dqk = jnp.swapaxes(jnp.swapaxes(dqk_t, 2, 3), 1, 2).reshape(rows, k2r)
+    dwqk_ref[...] += _contract_rows(x2, dqk)
+    dbqk_ref[...] += _rowsum(dqk)
+    dx = dx + jax.lax.dot_general(dqk, wqk_ref[:], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dalpha_ref[0, 0] += dalpha
+    dx_ref[:] = (dx * jmask).reshape(nb, t, vp, cin)
+
+
+def _temporal_bwd_kernel(x_ref, g_ref, base_ref, alpha_ref, wf_ref, bf_ref,
+                         wqk_ref, bqk_ref, wrm_ref, brm_ref,
+                         dx_ref, dwf_ref, dbf_ref, dwqk_ref, dbqk_ref,
+                         dwrm_ref, dbrm_ref, dbase_ref, dalpha_ref,
+                         *, num_kernels: int, red: int, agg: str,
+                         v_real: int, t_real: int):
+    nb, tp, vp, cin = x_ref.shape
+    co = g_ref.shape[-1]
+    k2r = num_kernels * 2 * red
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (dwf_ref, dbf_ref, dwqk_ref, dbqk_ref, dwrm_ref,
+                    dbrm_ref, dbase_ref, dalpha_ref):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    rows = nb * tp * vp
+    x2 = x_ref[:].reshape(rows, cin)
+    alpha = alpha_ref[0, 0]
+    mask = _f._row_mask(rows, tp, vp, t_real, v_real)
+    g2 = g_ref[:].reshape(rows, co) * mask
+    g_v = jnp.swapaxes(g2.reshape(nb, tp, vp, co), 1, 2) \
+        .reshape(nb * vp, tp, co)
+
+    qk = jnp.dot(x2, wqk_ref[:], preferred_element_type=jnp.float32) \
+        + bqk_ref[0]
+    qk_t = jnp.swapaxes(qk.reshape(nb * tp, vp, k2r), 1, 2)
+
+    dx = None
+    dalpha = jnp.zeros((), jnp.float32)
+    dqk_cols = [None] * k2r
+    for k in range(num_kernels):
+        xf = (jnp.dot(x2, wf_ref[k], preferred_element_type=jnp.float32)
+              + bf_ref[k]) * mask
+        xf_v = jnp.swapaxes(xf.reshape(nb, tp, vp, co), 1, 2) \
+            .reshape(nb * vp, tp, co)
+        s_list, dyn = [], None
+        for ri in range(red):
+            qs = qk_t[:, k * 2 * red + ri, :].reshape(nb, tp, vp)
+            ks = qk_t[:, k * 2 * red + red + ri, :].reshape(nb, tp, vp)
+            s = jnp.tanh(qs[:, :, None, :] - ks[:, None, :, :])
+            s_list.append(s)
+            d = jnp.dot(s.reshape(nb * tp * tp, vp), wrm_ref[k, ri],
+                        preferred_element_type=jnp.float32)
+            dyn = d if dyn is None else dyn + d
+        dyn4 = dyn.reshape(nb, tp, tp, vp)               # (nb, tq, tu, w)
+        adj4 = (dyn4 + brm_ref[k]) * alpha + base_ref[k][None]
+        adj_v = jnp.swapaxes(jnp.swapaxes(adj4, 2, 3), 1, 2) \
+            .reshape(nb * vp, tp, tp)                    # (nbv, tq, tu)
+        a_eff = jnp.swapaxes(adj_v, 1, 2) if agg == "right" else adj_v
+
+        # aggregation backward: out_v = A_eff @ xf_v (contract 2nd dim)
+        dxf_v = jax.lax.dot_general(a_eff, g_v, (((1,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+        dxf = jnp.swapaxes(dxf_v.reshape(nb, vp, tp, co), 1, 2) \
+            .reshape(rows, co) * mask
+        dwf_ref[k, :, :] += _contract_rows(x2, dxf)
+        dbf_ref[k, :, :] += _rowsum(dxf)
+        dxk = jax.lax.dot_general(dxf, wf_ref[k], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dx = dxk if dx is None else dx + dxk
+
+        dA_eff = jax.lax.dot_general(g_v, xf_v, (((2,), (2,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+        dadj_v = jnp.swapaxes(dA_eff, 1, 2) if agg == "right" else dA_eff
+        dA4 = jnp.swapaxes(jnp.swapaxes(
+            dadj_v.reshape(nb, vp, tp, tp), 1, 2), 2, 3)  # (nb, tq, tu, w)
+        dbase_ref[k, :, :] += jnp.sum(dA4, axis=(0, 3))
+        dalpha = dalpha + jnp.sum(dA4 * (dyn4 + brm_ref[k]))
+        dbrm_ref[k, :, :] += alpha * _rowsum(
+            dA4.reshape(nb * tp * tp, vp))
+        ddyn = (alpha * dA4).reshape(nb * tp * tp, vp)
+        for ri in range(red):
+            s = s_list[ri]
+            s_flat = s.reshape(nb * tp * tp, vp)
+            dwrm_ref[k, ri, :, :] += _contract_rows(s_flat, ddyn)
+            ds = jax.lax.dot_general(
+                ddyn, wrm_ref[k, ri], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            du = ds.reshape(nb, tp, tp, vp) * (1.0 - s * s)
+            dqs, dks = jnp.sum(du, axis=2), -jnp.sum(du, axis=1)
+            dqk_cols[k * 2 * red + ri] = \
+                dqs.reshape(nb * tp, 1, vp)
+            dqk_cols[k * 2 * red + red + ri] = \
+                dks.reshape(nb * tp, 1, vp)
+
+    dqk_t = dqk_cols[0] if k2r == 1 else jnp.concatenate(dqk_cols, axis=1)
+    dqk = jnp.swapaxes(dqk_t, 1, 2).reshape(rows, k2r)
+    dwqk_ref[...] += _contract_rows(x2, dqk)
+    dbqk_ref[...] += _rowsum(dqk)
+    dx = dx + jax.lax.dot_general(dqk, wqk_ref[:], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dalpha_ref[0, 0] += dalpha
+    dx_ref[:] = (dx * mask).reshape(nb, tp, vp, cin)
+
+
+def _run_bwd(kernel_body, prep, pad_t, x, g, base, alpha, wf, bf, wm1, bm1,
+             wm2, bm2, wrm, brm, agg):
+    n, t, v, cin = x.shape
+    k = wf.shape[0]
+    co = wf.shape[-1]
+    red = wm1.shape[-1]
+    vp = -(-v // 8) * 8
+    tp = -(-t // 8) * 8 if pad_t else t
+    nb = _f._block_samples(n)
+    x_p = _f._pad_to(_f._pad_to(x.astype(jnp.float32), 2, vp), 1, tp)
+    g_p = _f._pad_to(_f._pad_to(g.astype(jnp.float32), 2, vp), 1, tp)
+    base_p, wrm_p, brm_p = prep(base, wrm, brm, vp, tp, agg)
+    alpha_arr = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
+    bf2 = bf[:, None, :]
+    wqk, bqk = _f._stack_qk(wm1, bm1, wm2, bm2)
+    k2r = k * 2 * red
+    ref_dim = wrm_p.shape[-1]
+
+    extra = dict(t_real=t) if pad_t else {}
+
+    def vmem_full(a):
+        nd = a.ndim
+        return pl.BlockSpec(a.shape, lambda i, _n=nd: (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    def acc_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, _n=nd: (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((n, tp, vp, cin), jnp.float32),   # dx
+        jax.ShapeDtypeStruct(wf.shape, jnp.float32),           # dwf
+        jax.ShapeDtypeStruct((k, 1, co), jnp.float32),         # dbf
+        jax.ShapeDtypeStruct(wqk.shape, jnp.float32),          # dwqk
+        jax.ShapeDtypeStruct((1, k2r), jnp.float32),           # dbqk
+        jax.ShapeDtypeStruct(wrm_p.shape, jnp.float32),        # dwrm
+        jax.ShapeDtypeStruct((k, 1, ref_dim), jnp.float32),    # dbrm
+        jax.ShapeDtypeStruct(base_p.shape[:3], jnp.float32),   # dbase
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),             # dalpha
+    )
+    outs = pl.pallas_call(
+        functools.partial(kernel_body, num_kernels=k, red=red, agg=agg,
+                          v_real=v, **extra),
+        out_shape=out_shapes,
+        grid=(n // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, tp, vp, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, tp, vp, co), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vmem_full(base_p), vmem_full(alpha_arr), vmem_full(wf),
+            vmem_full(bf2), vmem_full(wqk), vmem_full(bqk),
+            vmem_full(wrm_p), vmem_full(brm_p),
+        ],
+        out_specs=(
+            pl.BlockSpec((nb, tp, vp, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            acc_spec(wf.shape), acc_spec((k, 1, co)), acc_spec(wqk.shape),
+            acc_spec((1, k2r)), acc_spec(wrm_p.shape),
+            acc_spec((k, 1, ref_dim)), acc_spec(base_p.shape[:3]),
+            acc_spec((1, 1)),
+        ),
+        interpret=_f._interpret(),
+    )(x_p, g_p, base_p, alpha_arr, wf, bf2, wqk, bqk, wrm_p, brm_p)
+    (dx_p, dwf, dbf, dwqk, dbqk, dwrm_p, dbrm_p, dbase_k, dalpha) = outs
+
+    dx = dx_p[:, :t, :v, :]
+    dbf = dbf[:, 0, :]
+    # split the stacked q/k panel gradients back per kernel
+    dwm1 = jnp.stack([dwqk[:, ki * 2 * red: ki * 2 * red + red]
+                      for ki in range(k)])
+    dwm2 = jnp.stack([dwqk[:, ki * 2 * red + red: (ki + 1) * 2 * red]
+                      for ki in range(k)])
+    dbm1 = jnp.stack([dbqk[0, ki * 2 * red: ki * 2 * red + red]
+                      for ki in range(k)])
+    dbm2 = jnp.stack([dbqk[0, ki * 2 * red + red: (ki + 1) * 2 * red]
+                      for ki in range(k)])
+    return (dx, dbase_k, dalpha, dwf, dbf, dwm1, dbm1, dwm2, dbm2,
+            dwrm_p, dbrm_p)
+
+
+def spatial_bwd(res, g, agg):
+    """Pallas VJP for fused.dstd_spatial: returns grads for the 11 diff
+    args (x, base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm)."""
+    x, base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm = res
+    v = x.shape[2]
+    (dx, dbase_k, dalpha, dwf, dbf, dwm1, dbm1, dwm2, dbm2, dwrm_p,
+     dbrm_p) = _run_bwd(_spatial_bwd_kernel, _f._prep_spatial, False, x, g,
+                        base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
+                        agg)
+    # dbase accumulated in the kernel's (a, b) layout; undo the prep
+    dbase = jnp.swapaxes(dbase_k, 1, 2) if agg == "right" else dbase_k
+    dbase = dbase[:, :v, :v]
+    dalpha = dalpha.reshape(jnp.shape(jnp.asarray(alpha)))
+    dbrm = dbrm_p[:, 0, :]
+    return (dx, dbase, dalpha.astype(jnp.asarray(alpha).dtype), dwf, dbf,
+            dwm1, dbm1, dwm2, dbm2, dwrm_p, dbrm)
+
+
+def temporal_bwd(res, g, agg):
+    """Pallas VJP for fused.dstd_temporal."""
+    x, base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm = res
+    t, v = x.shape[1], x.shape[2]
+    (dx, dbase_k, dalpha, dwf, dbf, dwm1, dbm1, dwm2, dbm2, dwrm_p,
+     dbrm_p) = _run_bwd(_temporal_bwd_kernel, _f._prep_temporal, True, x, g,
+                        base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
+                        agg)
+    dbase = dbase_k[:, :t, :t]
+    dwrm = dwrm_p[:, :, :v, :v]
+    dbrm = dbrm_p[:, 0, :v]
+    dalpha = dalpha.reshape(jnp.shape(jnp.asarray(alpha)))
+    return (dx, dbase, dalpha.astype(jnp.asarray(alpha).dtype), dwf, dbf,
+            dwm1, dbm1, dwm2, dbm2, dwrm, dbrm)

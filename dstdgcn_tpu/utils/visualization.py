@@ -14,7 +14,15 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-__all__ = ["Visualizer", "BONES"]
+__all__ = ["Visualizer", "BONES", "plot_expmap_multi"]
+
+# Ax3DPoseMulti's 16-bone H36M subset with left/right indicators
+# (reference utils/visualization.py:376-379)
+_MULTI_I = np.array([1, 2, 3, 1, 7, 8, 1, 13, 14, 15, 14, 18, 19, 14, 26,
+                     27]) - 1
+_MULTI_J = np.array([2, 3, 4, 7, 8, 9, 13, 14, 15, 16, 18, 19, 20, 26, 27,
+                     28]) - 1
+_MULTI_LR = np.array([1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1], bool)
 
 # bone lists in full-skeleton joint indices (reference
 # utils/visualization.py:19-56)
@@ -120,3 +128,55 @@ class Visualizer:
         gif = os.path.join(save_dir, f"{title}.gif")
         imageio.mimsave(gif, frames, duration=0.08)
         return gif
+
+
+def plot_expmap_multi(expmap_gt: np.ndarray, expmap_pred: np.ndarray,
+                      save_dir: str, title: str) -> Optional[str]:
+    """GT-vs-prediction overlay animation from EXPMAP (angle-space)
+    sequences — headless port of the reference's interactive
+    ``Ax3DPoseMulti`` / ``plot_predictions_multi``
+    (utils/visualization.py:363-509): each frame runs forward kinematics,
+    draws GT in greys (dashed) and the prediction in the reference's
+    purple/green left/right colours over the 16-bone subset, with
+    root-centred fixed-radius limits; frames are written to a GIF instead
+    of plt.pause animation (TPU hosts are headless).
+
+    ``expmap_gt`` / ``expmap_pred``: (T, 99) H36M expmap channel vectors.
+    """
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import imageio.v2 as imageio
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+    from ..data.kinematics import expmap_to_xyz
+
+    xyz_gt = expmap_to_xyz(np.asarray(expmap_gt, np.float32))
+    xyz_pred = expmap_to_xyz(np.asarray(expmap_pred, np.float32))
+    os.makedirs(save_dir, exist_ok=True)
+    frames = []
+    r = 1000.0                      # fixed radius (reference :480)
+    for i in range(xyz_pred.shape[0]):
+        fig = plt.figure(figsize=(3, 3))
+        ax = fig.add_subplot(111, projection="3d")
+        root = xyz_gt[i, 0]
+        ax.set_xlim(root[0] - r, root[0] + r)
+        ax.set_ylim(root[1] - r, root[1] + r)
+        ax.set_zlim(root[2] - r, root[2] + r)
+        ax.axis("off")
+        for pts, (lc, rc), style in (
+                (xyz_gt[i], ("#8e8e8e", "#383838"), "--"),
+                (xyz_pred[i], ("#9b59b6", "#2ecc71"), "-")):
+            for bi in range(len(_MULTI_I)):
+                a, b = _MULTI_I[bi], _MULTI_J[bi]
+                ax.plot([pts[a, 0], pts[b, 0]], [pts[a, 1], pts[b, 1]],
+                        [pts[a, 2], pts[b, 2]], lw=2, linestyle=style,
+                        color=lc if _MULTI_LR[bi] else rc)
+        ax.set_title(f"{title} frame:{i + 1}", loc="left", fontsize=7)
+        fig.canvas.draw()
+        frames.append(np.asarray(fig.canvas.buffer_rgba())[..., :3].copy())
+        plt.close(fig)
+    gif = os.path.join(save_dir, f"{title}.gif")
+    imageio.mimsave(gif, frames, duration=0.05)
+    return gif

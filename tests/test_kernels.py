@@ -145,3 +145,65 @@ def test_pair_flat_matches_grid(mode, agg):
         op(xx, base, alpha, **w, agg=agg, pair_flat=True) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("agg", ["right", "left"])
+def test_fused_chain_matches_oracle_chain(agg):
+    """Whole-chain kernel (one pallas_call for B (spatial, temporal) blocks,
+    fori_loop over VMEM-resident weights) vs the per-op oracle chain,
+    including gradients (oracle-replay VJP)."""
+    rng = np.random.RandomState(7)
+    n, t, v, c = 4, 10, 7, 6
+    blocks = []
+    for i in range(3):
+        ws = _weights(rng, 2, c, c, 2, t)
+        wt = _weights(rng, 1, c, c, 2, v)
+        blocks.append((
+            (jnp.asarray(rng.randn(2, v, v), jnp.float32) * 0.3,
+             jnp.asarray(0.5), ws["wf"], ws["bf"], ws["wm1"], ws["bm1"],
+             ws["wm2"], ws["bm2"], ws["wrm"], ws["brm"]),
+            (jnp.asarray(rng.randn(1, t, t), jnp.float32) * 0.3,
+             jnp.asarray(0.4), wt["wf"], wt["bf"], wt["wm1"], wt["bm1"],
+             wt["wm2"], wt["bm2"], wt["wrm"], wt["brm"]),
+        ))
+    x = jnp.asarray(rng.randn(n, t, v, c), jnp.float32)
+    want = np.asarray(fused._chain_oracle(x, blocks, agg))
+    got = np.asarray(fused.dstd_chain(x, blocks, agg))
+    # activations grow unnormalized through the blocks; scale-relative
+    # tolerance absorbs fp32 reassociation between the two formulations
+    assert np.abs(got - want).max() < 1e-4 * max(np.abs(want).max(), 1.0)
+    g0 = np.asarray(jax.grad(lambda xx: jnp.sum(
+        fused._chain_oracle(xx, blocks, agg) ** 2))(x))
+    g1 = np.asarray(jax.grad(lambda xx: jnp.sum(
+        fused.dstd_chain(xx, blocks, agg) ** 2))(x))
+    assert np.abs(g1 - g0).max() < 1e-4 * max(np.abs(g0).max(), 1.0)
+
+
+@pytest.mark.parametrize("mode", ["spatial", "temporal"])
+@pytest.mark.parametrize("agg", ["right", "left"])
+def test_fused_pallas_backward_matches_oracle(mode, agg):
+    """Hand-derived Pallas backward (kernels/fused_bwd.py) vs oracle
+    autograd: dx and every weight gradient."""
+    rng = np.random.RandomState(11)
+    n, t, v, cin, co = 3, 6, 5, 4, 4
+    k = 2 if mode == "spatial" else 1
+    ref_len = t if mode == "spatial" else v
+    p = v if mode == "spatial" else t
+
+    def mk(*s):
+        return jnp.asarray(rng.randn(*s).astype(np.float32) * 0.2)
+
+    x = mk(n, t, v, cin)
+    args = (mk(k, p, p), jnp.asarray(0.7), mk(k, cin, co), mk(k, co),
+            mk(k, cin, 2), mk(k, 2), mk(k, cin, 2), mk(k, 2),
+            mk(k, 2, ref_len, ref_len), mk(k, ref_len))
+    f_fused = fused.dstd_spatial if mode == "spatial" else fused.dstd_temporal
+    f_orc = oracle.dstd_spatial if mode == "spatial" else oracle.dstd_temporal
+    g_fused = jax.grad(lambda *a: jnp.sum(jnp.sin(f_fused(*a, agg=agg))),
+                       argnums=tuple(range(11)))(x, *args)
+    g_orc = jax.grad(lambda *a: jnp.sum(jnp.sin(f_orc(*a, agg=agg))),
+                     argnums=tuple(range(11)))(x, *args)
+    for a, b in zip(g_fused, g_orc):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() < 1e-4 * max(np.abs(b).max(), 1.0)

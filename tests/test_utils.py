@@ -83,3 +83,18 @@ def test_weak_scaling_sweep_cpu_mesh():
     e2 = 2 * 4 * 4 * 16 * 16
     assert e2 / 2 == e1 / 1
     assert results[1]["mesh"] == {"data": 1, "graph": 2}
+
+
+def test_plot_expmap_multi_writes_gif(tmp_path):
+    """Headless Ax3DPoseMulti port: expmap GT/pred -> FK -> overlay GIF
+    (reference utils/visualization.py:363-509)."""
+    import pytest
+    pytest.importorskip("matplotlib")
+    pytest.importorskip("imageio")
+    from dstdgcn_tpu.utils.visualization import plot_expmap_multi
+
+    rng = np.random.RandomState(0)
+    gt = rng.randn(3, 99).astype(np.float32) * 0.1
+    pred = gt + 0.05 * rng.randn(3, 99).astype(np.float32)
+    gif = plot_expmap_multi(gt, pred, str(tmp_path), "seq")
+    assert gif is not None and (tmp_path / "seq.gif").exists()
