@@ -166,12 +166,14 @@ class PredictionEngine:
                                 opt_state=opt_state,
                                 dropout_key=jax.random.key(seed + 1))
         if self.mesh is not None:
-            # replicate model/optimizer state across the mesh so the jitted
-            # step sees consistent shardings (GSPMD shards activations only)
-            from ..parallel.mesh import replicated
-            rep = replicated(self.mesh)
-            self.state = jax.tree.map(
-                lambda a: jax.device_put(a, rep), self.state)
+            # place model/optimizer state on the mesh: replicated for plain
+            # DP/graph sharding, channel-dim-sharded over the optional
+            # tensor-parallel "model" axis (parallel/mesh.py rules); the
+            # Adam moments mirror the param tree so the same name-based
+            # rule shards them consistently
+            from ..parallel.mesh import param_sharding
+            shardings = param_sharding(self.mesh, self.state)
+            self.state = jax.tree.map(jax.device_put, self.state, shardings)
         if self.logger is not None:
             n = sum(p.size for p in jax.tree.leaves(params))
             self.logger.info(

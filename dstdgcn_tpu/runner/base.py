@@ -72,17 +72,18 @@ class BaseRunner:
 
         from ..parallel import batch_sharding, make_mesh
         graph = int(par.get("graph", 1))
+        model = int(par.get("model", 1))
         data = par.get("data", "auto")
         data = None if data in ("auto", None, "None") else int(data)
         n_dev = len(jax.devices())
-        if data is None and n_dev % graph != 0:
-            graph = 1
-        if (data or (n_dev // graph)) * graph > n_dev:
+        if data is None and n_dev % (graph * model) != 0:
+            graph = model = 1
+        if (data or (n_dev // (graph * model))) * graph * model > n_dev:
             self.logger.warning(
-                f"parallel config requests {data}x{graph} devices, have "
-                f"{n_dev}; falling back to single-device")
+                f"parallel config requests {data}x{graph}x{model} devices, "
+                f"have {n_dev}; falling back to single-device")
             return None, None
-        mesh = make_mesh(data=data, graph=graph)
+        mesh = make_mesh(data=data, graph=graph, model=model)
         self.logger.info(f"device mesh: {dict(mesh.shape)}")
         return mesh, batch_sharding(mesh)
 

@@ -241,3 +241,59 @@ def test_fused_pallas_under_mesh_matches_single_device():
         if a.dtype.kind == "f" and a.size > 1:
             scale = np.abs(a).max()
             assert np.max(np.abs(a - b)) < max(2e-3 * scale, 1e-8)
+
+
+def test_tensor_parallel_model_axis_matches_single_device():
+    """Optional tensor parallelism (SURVEY §2.6 "TP"): a (data x model)
+    mesh shards feature channels of the projection weights / BN vectors /
+    activations; the sharded train step must reproduce the unsharded one
+    (XLA inserts the row-parallel all-reduces)."""
+    from dstdgcn_tpu.engine import PredictionEngine
+    from dstdgcn_tpu.models import DSTDGCN
+    from dstdgcn_tpu.parallel import param_sharding
+
+    cfg = dict(learn=dict(opt="adam", lr=1e-3, weight_decay=0, gamma=0.9,
+                          step_size=5),
+               loss=dict(joint=["jl2", 1]), n_out=1, transform="tsc",
+               use_weight=False, inverse=True, max_iter=-1)
+    model = DSTDGCN(input_channels=6, input_time_frame=4,
+                    output_time_frame=4, st_gcnn_dropout=0.0,
+                    joints_to_consider=22, num_feature=8, num_layers=1,
+                    layout="h36m")
+    rng = np.random.RandomState(5)
+    batch = rng.randn(8, 8, 66).astype(np.float32)
+    batch_inv = batch[:, ::-1].copy()
+    targets = rng.randn(8, 8, 66).astype(np.float32)
+
+    def run(mesh):
+        eng = PredictionEngine(dict(cfg), model,
+                               data_sharding=(None if mesh is None else
+                                              NamedSharding(mesh, P("data"))))
+        eng.mesh = mesh
+        eng.init(batch[:1], seed=0)
+        step = eng._build_train_step(None, None, None)
+        with activation_sharding_context(mesh):
+            if mesh is not None:
+                sh = NamedSharding(mesh, P("data"))
+                args = [jax.device_put(jnp.asarray(a), sh)
+                        for a in (batch, batch_inv, targets)]
+            else:
+                args = [jnp.asarray(a) for a in (batch, batch_inv, targets)]
+            state, losses = step(eng.state, *args, jnp.asarray(1e-3))
+        return eng, state, losses
+
+    eng0, state0, losses0 = run(None)
+    mesh = make_mesh(data=2, graph=1, model=4)
+    # the TP rule actually shards something (wf last dim 8 over model=4)
+    sh = param_sharding(mesh, {"wf": jnp.zeros((2, 8, 8))})
+    assert "model" in str(sh["wf"].spec)
+    eng1, state1, losses1 = run(mesh)
+    for name in losses0:
+        np.testing.assert_allclose(float(losses0[name]),
+                                   float(losses1[name]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state0.opt_state),
+                    jax.tree.leaves(state1.opt_state)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f" and a.size > 1:
+            scale = np.abs(a).max()
+            assert np.max(np.abs(a - b)) < max(2e-3 * scale, 1e-8)
