@@ -149,7 +149,8 @@ def _spatial_bwd_kernel(x_ref, g_ref, base_ref, alpha_ref, wf_ref, bf_ref,
     dbqk_ref[...] += _rowsum(dqk)
     dx = dx + jax.lax.dot_general(dqk, wqk_ref[:], (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-    dalpha_ref[0, 0] += dalpha
+    # scalar stores to VMEM are rejected by Mosaic; accumulate as (1, 1)
+    dalpha_ref[...] += dalpha.reshape(1, 1)
     dx_ref[:] = (dx * jmask).reshape(nb, t, vp, cin)
 
 
@@ -245,7 +246,8 @@ def _temporal_bwd_kernel(x_ref, g_ref, base_ref, alpha_ref, wf_ref, bf_ref,
     dbqk_ref[...] += _rowsum(dqk)
     dx = dx + jax.lax.dot_general(dqk, wqk_ref[:], (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-    dalpha_ref[0, 0] += dalpha
+    # scalar stores to VMEM are rejected by Mosaic; accumulate as (1, 1)
+    dalpha_ref[...] += dalpha.reshape(1, 1)
     dx_ref[:] = (dx * mask).reshape(nb, tp, vp, cin)
 
 
