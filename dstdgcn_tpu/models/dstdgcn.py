@@ -11,7 +11,7 @@ observed frame so the network predicts motion deltas.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -42,8 +42,11 @@ class DSTDGCN(nn.Module):
     layout: str = "h36m"
     fast: bool = False
     bn_axis_name: Optional[str] = None
-    use_pallas: bool = False
+    use_pallas: Union[bool, str] = False  # True | 'spatial' | 'temporal'
     pair_flat: bool = False
+    #: block-diagonal grouped aggregation sizes (must divide T / pad V)
+    agg_group_spatial: Optional[int] = None
+    agg_group_temporal: Optional[int] = None
     #: e.g. "bfloat16": MXU-native mixed precision for the DSTD contractions
     #: (bf16 inputs, f32 accumulation); params and outputs stay f32
     compute_dtype: Optional[str] = None
@@ -64,7 +67,10 @@ class DSTDGCN(nn.Module):
                       fast=self.fast, bn_axis_name=self.bn_axis_name,
                       use_pallas=self.use_pallas,
                       compute_dtype=self.compute_dtype,
-                      pair_flat=self.pair_flat, refine=True)
+                      pair_flat=self.pair_flat,
+                      agg_group_spatial=self.agg_group_spatial,
+                      agg_group_temporal=self.agg_group_temporal,
+                      refine=True)
 
         h = STGCNNLayer(out_channels=self.num_feature, residual=False,
                         name="conv_st_in", **common)(h, train=train)
@@ -104,7 +110,8 @@ def get_model(name: str, **opts: Any) -> DSTDGCN:
     for k in ("name", "load", "ckpt"):
         kwargs.pop(k, None)
     kwargs.update(_REGISTRY[name])
-    for k in ("bn_axis_name", "use_pallas", "compute_dtype", "pair_flat"):
+    for k in ("bn_axis_name", "use_pallas", "compute_dtype", "pair_flat",
+              "agg_group_spatial", "agg_group_temporal"):
         if k in opts:
             kwargs[k] = opts[k]
     return DSTDGCN(**kwargs)

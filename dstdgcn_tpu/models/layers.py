@@ -8,7 +8,7 @@ become stacked kernel axes, and everything composes under ``jit``/``pjit``.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -132,9 +132,12 @@ class DSTDGC(nn.Module):
     red_channels: int = 2
     mode: str = "spatial"
     agg: str = "right"      # "right"=qualitative, "left"=fast variant
-    use_pallas: bool = False
+    use_pallas: Union[bool, str] = False  # True | 'spatial' | 'temporal'
     compute_dtype: Optional[str] = None   # e.g. "bfloat16" (f32 accum)
     pair_flat: bool = False  # flat (P*P)-lane score layout (ops.dstd)
+    #: block-diagonal grouped aggregation (ops.dstd agg_group): packs g
+    #: frames (spatial) / joints (temporal) per MXU matmul
+    agg_group: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: Array, base_adj: Array, alpha: Array,
@@ -154,7 +157,13 @@ class DSTDGC(nn.Module):
 
         args = (x, base_adj, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
                 mask)
-        if self.use_pallas:
+        # use_pallas: True routes both ops through the fused kernels;
+        # "spatial" routes only the spatial op (the measured win on v5e —
+        # the fused temporal op is pipeline-bound and loses to XLA, see
+        # scripts/probe_mosaic12/13)
+        use_pallas = self.use_pallas and (self.use_pallas is True
+                                          or self.use_pallas == self.mode)
+        if use_pallas:
             from ..kernels import fused as fk
             fn = (fk.dstd_spatial if self.mode == "spatial"
                   else fk.dstd_temporal)
@@ -162,7 +171,8 @@ class DSTDGC(nn.Module):
         dtype = (None if self.compute_dtype is None
                  else jnp.dtype(self.compute_dtype))
         fn = ops.dstd_spatial if self.mode == "spatial" else ops.dstd_temporal
-        return fn(*args, agg=self.agg, dtype=dtype, pair_flat=self.pair_flat)
+        return fn(*args, agg=self.agg, dtype=dtype, pair_flat=self.pair_flat,
+                  agg_group=self.agg_group)
 
 
 class DSTDGCB(nn.Module):
@@ -194,9 +204,11 @@ class DSTDGCB(nn.Module):
     layout: str = "h36m"
     fast: bool = False
     bn_axis_name: Optional[str] = None
-    use_pallas: bool = False
+    use_pallas: Union[bool, str] = False  # True | 'spatial' | 'temporal'
     compute_dtype: Optional[str] = None
     pair_flat: bool = False
+    agg_group_spatial: Optional[int] = None
+    agg_group_temporal: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
@@ -238,6 +250,7 @@ class DSTDGCB(nn.Module):
                    mode="spatial", agg=agg, use_pallas=self.use_pallas,
                    compute_dtype=self.compute_dtype,
                    pair_flat=self.pair_flat,
+                   agg_group=self.agg_group_spatial,
                    name="spatial")(x, base_s, alpha_sm)
         y = JointBatchNorm(axis_name=self.bn_axis_name, dtype=act_dtype,
                            name="bn")(y, train=train)
@@ -248,6 +261,7 @@ class DSTDGCB(nn.Module):
                    mode="temporal", agg=agg, use_pallas=self.use_pallas,
                    compute_dtype=self.compute_dtype,
                    pair_flat=self.pair_flat,
+                   agg_group=self.agg_group_temporal,
                    name="temporal")(y, base_t, alpha_tm)
         return z
 
@@ -292,9 +306,11 @@ class STGCNNLayer(nn.Module):
     layout: str = "h36m"
     fast: bool = False
     bn_axis_name: Optional[str] = None
-    use_pallas: bool = False
+    use_pallas: Union[bool, str] = False  # True | 'spatial' | 'temporal'
     compute_dtype: Optional[str] = None
     pair_flat: bool = False
+    agg_group_spatial: Optional[int] = None
+    agg_group_temporal: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
@@ -313,7 +329,10 @@ class STGCNNLayer(nn.Module):
                         fast=self.fast, bn_axis_name=self.bn_axis_name,
                         use_pallas=self.use_pallas,
                         compute_dtype=self.compute_dtype,
-                        pair_flat=self.pair_flat, name="block")(
+                        pair_flat=self.pair_flat,
+                        agg_group_spatial=self.agg_group_spatial,
+                        agg_group_temporal=self.agg_group_temporal,
+                        name="block")(
                             x, train=train)
         else:
             y = ConvTemporalGraphical(self.time_dim, self.joints_dim,

@@ -207,3 +207,25 @@ def test_fused_pallas_backward_matches_oracle(mode, agg):
         a, b = np.asarray(a), np.asarray(b)
         assert a.shape == b.shape
         assert np.abs(a - b).max() < 1e-4 * max(np.abs(b).max(), 1.0)
+
+
+def test_model_variant_knobs_match_baseline():
+    """Model-level perf knobs (hybrid use_pallas='spatial', block-diagonal
+    agg_group sizes) are numerically equivalent to the plain path."""
+    from dstdgcn_tpu.models import DSTDGCN
+
+    cfg = dict(input_channels=6, input_time_frame=4, output_time_frame=4,
+               st_gcnn_dropout=0.0, joints_to_consider=22, num_feature=8,
+               num_layers=1, layout="h36m")
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 22, 3), jnp.float32)
+    m0 = DSTDGCN(**cfg)
+    variables = m0.init({"params": jax.random.key(0)}, x, train=False)
+    y0 = np.asarray(m0.apply(variables, x, train=False))
+    for knobs in (dict(use_pallas="spatial"),
+                  dict(agg_group_spatial=4, agg_group_temporal=3),
+                  dict(use_pallas="spatial", agg_group_temporal=3)):
+        y1 = np.asarray(DSTDGCN(**cfg, **knobs).apply(variables, x,
+                                                      train=False))
+        assert np.abs(y1 - y0).max() < 1e-3 * max(np.abs(y0).max(), 1.0), \
+            knobs
