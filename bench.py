@@ -41,6 +41,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 PEAK_FLOPS = 197e12
 PEAK_BW = 819e9
 
+
+class _Timeout(BaseException):
+    """Watchdog alarm.  Derives from BaseException so the broad
+    ``except Exception`` fallbacks in measure()/bench_train_step cannot
+    swallow the one-shot SIGALRM — it always unwinds to the top-level
+    handler (ADVICE r2)."""
+
 RESULT = {
     "metric": "edges/s/chip (SpMM+SDDMM)", "value": 0.0, "unit": "edges/s",
     "vs_baseline": 0.0, "detail": {},
@@ -218,7 +225,26 @@ def _time_slope(op, x0, i1=5, i2=25):
     return max((t2 - t1) / (i2 - i1), 1e-9)
 
 
-def bench_train_step(n_batch, use_pallas):
+def _flaky_compile(exc) -> bool:
+    """True for transient remote-compile-service failures (the tunneled
+    chip's compile helper intermittently returns HTTP 500; round-2 lost the
+    chain-kernel and pallas-train measurements to exactly this)."""
+    msg = str(exc)
+    return "remote_compile" in msg or "HTTP 5" in msg or "DEADLINE" in msg
+
+
+def _with_retry(fn, tries=3, pause_s=10):
+    for i in range(tries):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — _Timeout is BaseException
+            if i + 1 == tries or not _flaky_compile(e):
+                raise
+            time.sleep(pause_s)
+
+
+def bench_train_step(n_batch, use_pallas, compute_dtype=None,
+                     agg_group=(None, None)):
     """Full training step on the flagship model: 2 train-mode forwards
     (inverse-sequence training) + backward + Adam, via the real engine
     step (reference hot loop: engine/prediction.py:215-304)."""
@@ -231,7 +257,10 @@ def bench_train_step(n_batch, use_pallas):
     model = DSTDGCN(input_channels=6, input_time_frame=10,
                     output_time_frame=25, st_gcnn_dropout=0.1,
                     joints_to_consider=22, num_feature=64, num_layers=5,
-                    layout="h36m", use_pallas=use_pallas)
+                    layout="h36m", use_pallas=use_pallas,
+                    compute_dtype=compute_dtype,
+                    agg_group_spatial=agg_group[0],
+                    agg_group_temporal=agg_group[1])
     cfg = dict(learn=dict(opt="adam", lr=3e-3, weight_decay=0, gamma=0.96,
                           step_size=5),
                loss=dict(joint=["jl2", 1]), n_out=1, transform="tsc",
@@ -349,7 +378,7 @@ def main():
 
     def measure(name, fn, x0, i1=5, i2=25):
         try:
-            sec = _time_slope(fn, x0, i1, i2)
+            sec = _with_retry(lambda: _time_slope(fn, x0, i1, i2))
             detail[name] = round(sec * 1e3, 3)
             return sec
         except Exception as e:
@@ -392,10 +421,10 @@ def main():
     try:
         n_fast = 256
         x_fast = jnp.asarray(rng.randn(n_fast, t, v, c).astype(np.float32))
-        sec = _time_slope(
+        sec = _with_retry(lambda: _time_slope(
             lambda xx: stacked_forward(params, xx, dtype=jnp.bfloat16,
                                        agg_group_s=5, agg_group_t=3,
-                                       agg="left"), x_fast, 5, 25)
+                                       agg="left"), x_fast, 5, 25))
         detail["fast_variant_n256_ms"] = round(sec * 1e3, 3)
         detail["fast_variant_edges_per_s"] = round(
             _edges_per_forward(n_fast, t, v, blocks) / sec, 1)
@@ -403,19 +432,31 @@ def main():
         detail["fast_variant_n256_ms"] = f"{type(e).__name__}: {str(e)[:90]}"
     _save_last_good()
 
-    # full TRAIN step on the flagship model (the reference's hot loop)
-    for nb_, pallas_ in ((32, False), (128, False), (128, True)):
-        key = f"train_step_ms_b{nb_}" + ("_pallas" if pallas_ else "")
+    # full TRAIN step on the flagship model (the reference's hot loop);
+    # "bd_bf16" = bf16 contractions + block-diag grouped aggregation, the
+    # forward-path winners, applied to the whole train step
+    train_rows = (
+        ("train_step_ms_b32", 32, dict(use_pallas=False)),
+        ("train_step_ms_b128", 128, dict(use_pallas=False)),
+        ("train_step_ms_b128_bd_bf16", 128,
+         dict(use_pallas=False, compute_dtype="bfloat16", agg_group=(5, 3))),
+        ("train_step_ms_b128_pallas", 128, dict(use_pallas=True)),
+    )
+    best_train = None
+    for key, nb_, kw in train_rows:
         try:
-            sec = bench_train_step(nb_, pallas_)
+            sec = _with_retry(lambda: bench_train_step(nb_, **kw))
             detail[key] = round(sec * 1e3, 3)
-            if nb_ == 128 and not pallas_:
-                # edges trained/s: both train-mode forwards count
-                detail["train_edges_per_s"] = round(
-                    2 * _edges_per_forward(nb_, t, v, blocks) / sec, 1)
+            if nb_ == 128:
+                best_train = sec if best_train is None else min(best_train,
+                                                                sec)
         except Exception as e:
             detail[key] = f"{type(e).__name__}: {str(e)[:120]}"
         _save_last_good()
+    if best_train is not None:
+        # edges trained/s: both train-mode forwards count
+        detail["train_edges_per_s"] = round(
+            2 * _edges_per_forward(128, t, v, blocks) / best_train, 1)
 
     try:
         detail["sparse_kernel_large_graph"] = bench_sparse_kernels()
@@ -458,9 +499,6 @@ if __name__ == "__main__":
     # normally take ~30 s can exceed 10 min).  Bound the run and fall back
     # to the newest partial/last good measurement rather than nothing.
     import signal
-
-    class _Timeout(Exception):
-        pass
 
     def _on_alarm(signum, frame):
         raise _Timeout()

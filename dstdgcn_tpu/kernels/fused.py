@@ -86,6 +86,17 @@ def _block_samples(n: int) -> int:
     return 1
 
 
+def _vmem_limit() -> int:
+    """Scoped-VMEM budget for the big fused kernels.
+
+    The Mosaic default (16 MB) rejects these kernels' working sets (the
+    single-op backward needs ~35 MB of stack at NB=4 — measured via the
+    compile-time OOM on a v5e, 2026-08-19); the chip physically has 128 MB
+    of VMEM, so raise the scoped limit and leave headroom for the grid
+    pipeline's double buffers."""
+    return int(os.environ.get("DSTDGCN_VMEM_LIMIT", str(100 * 1024 * 1024)))
+
+
 def _pad_to(x, axis: int, size: int):
     pad = size - x.shape[axis]
     if pad == 0:
@@ -289,6 +300,8 @@ def _pallas_forward(kernel_body, prep, pad_t, x, base, alpha, wf, bf, wm1,
         ],
         out_specs=pl.BlockSpec((nb, tp, vp, co), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(x_p, base_p, alpha_arr, wf, bf2, wqk, bqk, wrm_p, brm_p)
     return out[:, :t, :v, :]
@@ -341,19 +354,30 @@ dstd_temporal = _make_op(_temporal_kernel, _prep_temporal, True,
 # the per-op fused kernels are dominated by their grid pipeline — pad, DMA
 # in, DMA out, slice — not by compute (the temporal op's identity-copy
 # floor is ~86% of its total).  Fusing the chain pays that pipeline ONCE:
-# activations stay in VMEM across all ops, weights for every block are
-# VMEM-resident, and the block loop is a fori_loop so the Mosaic program
-# stays small.  Frames and joints are padded throughout; each op's row
-# mask keeps padded rows zero, and zero-padded wrm rows/cols kill padded
-# source frames/joints in the mixing (same construction the per-op
-# kernels use, golden-tested vs the oracle chain).
+# activations stay in VMEM across all ops.  Frames and joints are padded
+# throughout; each op's row mask keeps padded rows zero, and zero-padded
+# wrm rows/cols kill padded source frames/joints in the mixing (same
+# construction the per-op kernels use, golden-tested vs the oracle chain).
+#
+# Mosaic structure (round 3): the block loop lives in the GRID, not in the
+# kernel body.  grid = (N/nb, B) with the block index b as the minor
+# (fastest) dimension; per-block weights are streamed by BlockSpec index
+# maps (i, b) -> (b, ...), and the running activation lives in the OUTPUT
+# VMEM buffer, whose index map is constant in b — Mosaic keeps a
+# revisited output block resident and writes HBM once per sample block.
+# Each program is therefore one small (spatial, temporal) body.  The
+# previous design — all B blocks unrolled inside one kernel with every
+# block's weights VMEM-resident — produced a program that deterministically
+# crashes the Mosaic compile helper (tpu_compile_helper exit 1, reproduced
+# across retries on 2026-08-19); a fori_loop over dynamically-indexed VMEM
+# weights is likewise a hard crash (scripts/probe_mosaic14).
 
 
 def _spatial_body(x2, b, nb, tp, vp, cin, jmask, ks, red, agg,
                   base_ref, alpha_ref, wf_ref, bf_ref, wqk_ref, bqk_ref,
                   wrm_ref, brm_ref):
     co = wf_ref.shape[-1]
-    alpha = alpha_ref[b, 0]
+    alpha = alpha_ref[b, 0, 0]
     qk = jnp.dot(x2, wqk_ref[b], preferred_element_type=jnp.float32) \
         + bqk_ref[b]
     qk4 = qk.reshape(nb, tp, vp, ks * 2 * red)
@@ -389,7 +413,7 @@ def _temporal_body(x2, b, nb, tp, vp, cin, jmask, kt, red, agg,
                    base_ref, alpha_ref, wf_ref, bf_ref, wqk_ref, bqk_ref,
                    wrm_ref, brm_ref):
     co = wf_ref.shape[-1]
-    alpha = alpha_ref[b, 0]
+    alpha = alpha_ref[b, 0, 0]
     qk = jnp.dot(x2, wqk_ref[b], preferred_element_type=jnp.float32) \
         + bqk_ref[b]
     qk3 = qk.reshape(nb * tp, vp, kt * 2 * red)
@@ -425,29 +449,34 @@ def _temporal_body(x2, b, nb, tp, vp, cin, jmask, kt, red, agg,
     return out.reshape(nb * tp * vp, co) * jmask
 
 
-def _chain_kernel(x_ref, sb_ref, sa_ref, swf_ref, sbf_ref, swqk_ref,
-                  sbqk_ref, swrm_ref, sbrm_ref, tb_ref, ta_ref, twf_ref,
-                  tbf_ref, twqk_ref, tbqk_ref, twrm_ref, tbrm_ref, out_ref,
-                  *, blocks, ks, kt, red, agg, v_real, t_real,
-                  unroll: bool = False):
+def _chain_grid_kernel(x_ref, sb_ref, sa_ref, swf_ref, sbf_ref, swqk_ref,
+                       sbqk_ref, swrm_ref, sbrm_ref, tb_ref, ta_ref, twf_ref,
+                       tbf_ref, twqk_ref, tbqk_ref, twrm_ref, tbrm_ref,
+                       out_ref, *, ks, kt, red, agg, v_real, t_real):
+    """One (spatial, temporal) DSTD-GC block of the chain.
+
+    Grid = (samples/nb, blocks) with the block index minor; every weight
+    ref is the current block's slice (leading dim 1, streamed by the
+    BlockSpec index maps).  The running activation lives in ``out_ref``,
+    whose index map is constant in the block dimension, so Mosaic keeps it
+    VMEM-resident across the whole chain and writes HBM once per sample
+    block.
+    """
     nb, tp, vp, cin = x_ref.shape
     jmask = _row_mask(nb * tp * vp, tp, vp, t_real, v_real)
-    x2 = x_ref[:].reshape(nb * tp * vp, cin) * jmask
 
-    def body(b, x2):
-        y2 = _spatial_body(x2, b, nb, tp, vp, cin, jmask, ks, red, agg,
-                           sb_ref, sa_ref, swf_ref, sbf_ref, swqk_ref,
-                           sbqk_ref, swrm_ref, sbrm_ref)
-        return _temporal_body(y2, b, nb, tp, vp, cin, jmask, kt, red, agg,
-                              tb_ref, ta_ref, twf_ref, tbf_ref, twqk_ref,
-                              tbqk_ref, twrm_ref, tbrm_ref)
+    @pl.when(pl.program_id(1) == 0)
+    def _seed():
+        out_ref[:] = x_ref[:]          # host-padded rows are already zero
 
-    if unroll:
-        for b in range(blocks):
-            x2 = body(b, x2)
-    else:
-        x2 = jax.lax.fori_loop(0, blocks, body, x2)
-    out_ref[:] = x2.reshape(nb, tp, vp, cin)
+    x2 = out_ref[:].reshape(nb * tp * vp, cin)
+    y2 = _spatial_body(x2, 0, nb, tp, vp, cin, jmask, ks, red, agg,
+                       sb_ref, sa_ref, swf_ref, sbf_ref, swqk_ref,
+                       sbqk_ref, swrm_ref, sbrm_ref)
+    z2 = _temporal_body(y2, 0, nb, tp, vp, cin, jmask, kt, red, agg,
+                        tb_ref, ta_ref, twf_ref, tbf_ref, twqk_ref,
+                        tbqk_ref, twrm_ref, tbrm_ref)
+    out_ref[:] = z2.reshape(nb, tp, vp, cin)
 
 
 def _chain_pallas(x, blocks_params, agg):
@@ -472,7 +501,7 @@ def _chain_pallas(x, blocks_params, agg):
         wrm_p = _pad_to(_pad_to(wrm, 2, tp), 3, tp)
         brm_p = _pad_to(brm, 1, tp)[:, None, None, :]
         return (base_p[..., None], jnp.asarray(alpha, jnp.float32)
-                .reshape(1), wf, bf[:, None, :], wqk, bqk, wrm_p, brm_p)
+                .reshape(1, 1), wf, bf[:, None, :], wqk, bqk, wrm_p, brm_p)
 
     def prep_t(_, s):
         base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm = s
@@ -480,34 +509,36 @@ def _chain_pallas(x, blocks_params, agg):
         wrm_p = _pad_to(_pad_to(wrm, 2, vp), 3, vp)
         base_p = _pad_to(_pad_to(base, 1, tp), 2, tp)[..., None]
         brm_p = _pad_to(brm, 1, vp)[:, None, None, :]
-        return (base_p, jnp.asarray(alpha, jnp.float32).reshape(1),
+        return (base_p, jnp.asarray(alpha, jnp.float32).reshape(1, 1),
                 wf, bf[:, None, :], wqk, bqk, wrm_p, brm_p)
 
     s_args = stack(lambda s, tt: prep_s(s, tt))
     t_args = stack(lambda s, tt: prep_t(s, tt))
     x_p = _pad_to(_pad_to(x.astype(jnp.float32), 2, vp), 1, tp)
 
-    def vmem_full(a):
+    def per_block(a):
+        """Stream one block's slice of a (B, ...)-stacked weight array."""
         nd = a.ndim
-        return pl.BlockSpec(a.shape, lambda i, _n=nd: (0,) * _n,
+        return pl.BlockSpec((1,) + a.shape[1:],
+                            lambda i, b, _n=nd: (b,) + (0,) * (_n - 1),
                             memory_space=pltpu.VMEM)
 
-    # unrolled block loop by default: a fori_loop body with dynamically
-    # indexed VMEM weight slices crashes the Mosaic compile helper (bisected
-    # in scripts/probe_mosaic14 / chain_bisect); the unrolled 7-block
-    # program compiles fine
-    unroll = os.environ.get("DSTDGCN_CHAIN_UNROLL", "1") == "1"
     out = pl.pallas_call(
-        functools.partial(_chain_kernel, blocks=len(blocks_params), ks=ks,
-                          kt=kt, red=red, agg=agg, v_real=v, t_real=t,
-                          unroll=unroll),
+        functools.partial(_chain_grid_kernel, ks=ks, kt=kt, red=red,
+                          agg=agg, v_real=v, t_real=t),
         out_shape=jax.ShapeDtypeStruct((n, tp, vp, cin), jnp.float32),
-        grid=(n // nb,),
-        in_specs=[pl.BlockSpec((nb, tp, vp, cin), lambda i: (i, 0, 0, 0),
+        grid=(n // nb, len(blocks_params)),
+        in_specs=[pl.BlockSpec((nb, tp, vp, cin),
+                               lambda i, b: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)]
-        + [vmem_full(a) for a in s_args + t_args],
-        out_specs=pl.BlockSpec((nb, tp, vp, cin), lambda i: (i, 0, 0, 0),
+        + [per_block(a) for a in s_args + t_args],
+        out_specs=pl.BlockSpec((nb, tp, vp, cin), lambda i, b: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
+        # b revisits the output block (the running activation): the grid
+        # must execute sequentially along both dims
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
     )(x_p, *s_args, *t_args)
     return out[:, :t, :v, :]

@@ -314,6 +314,13 @@ def _run_bwd(kernel_body, prep, pad_t, x, g, base, alpha, wf, bf, wm1, bm1,
             acc_spec((k, 1, ref_dim)), acc_spec(base_p.shape[:3]),
             acc_spec((1, 1)),
         ),
+        # the += weight-grad accumulation into constant-index outputs
+        # requires the grid to execute sequentially; "arbitrary" makes that
+        # assumption explicit (megacore v4/v5p would otherwise be free to
+        # parallelize the grid dimension)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_f._vmem_limit()),
         interpret=_f._interpret(),
     )(x_p, g_p, base_p, alpha_arr, wf, bf2, wqk, bqk, wrm_p, brm_p)
     (dx_p, dwf, dbf, dwqk, dbqk, dwrm_p, dbrm_p, dbase_k, dalpha) = outs

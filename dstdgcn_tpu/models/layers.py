@@ -157,6 +157,11 @@ class DSTDGC(nn.Module):
 
         args = (x, base_adj, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
                 mask)
+        if self.use_pallas not in (True, False, "spatial", "temporal"):
+            raise ValueError(
+                f"use_pallas={self.use_pallas!r}: expected True, False, "
+                "'spatial' or 'temporal' (a typo would otherwise silently "
+                "disable the fused kernels)")
         # use_pallas: True routes both ops through the fused kernels;
         # "spatial" routes only the spatial op (the measured win on v5e —
         # the fused temporal op is pipeline-bound and loses to XLA, see

@@ -1,0 +1,310 @@
+#!/usr/bin/env python
+"""Round-3 chain-kernel stage ablation on the real chip.
+
+Cumulative variants of the grid-structured chain kernel (same grid, same
+DMA pattern — compute stubbed) isolate where the ~25 us/program goes:
+
+  copy        : out = x (DMA + grid floor; weights still streamed)
+  base_agg    : xf projections + K-concat batched aggregation with the
+                static base adjacency only (no dynamic term, no transposes)
+  dyn_notrans : + qk projection + pairwise tanh + mixing matmuls, but the
+                dynamic adjacency is consumed WITHOUT the two swapaxes
+                relayouts (numerically wrong, timing-valid)
+  full        : the real kernel
+  full_bd     : full + block-diagonal grouped aggregation (g frames/joints
+                packed per MXU matmul, the ops.dstd agg_group trick)
+  full_bd_nb2 : full_bd at NB=2
+
+Also: train_b128_pallas timing (bwd kernels compile since the VMEM-limit
+fix).  Prints one JSON line per section.
+"""
+import functools
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/dstdgcn_tpu/xla"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+import bench  # noqa: E402
+from dstdgcn_tpu.kernels import fused as fk  # noqa: E402
+
+
+def log(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def _bd_pack(adj, g):
+    """(m, p, q) batched -> (m//g, g*p, g*q) block-diagonal."""
+    m, p, q = adj.shape
+    eye = jnp.eye(g, dtype=adj.dtype)[:, None, :, None]
+    a6 = adj.reshape(m // g, g, p, 1, q) * eye
+    return a6.reshape(m // g, g * p, g * q)
+
+
+def _spatial_var(x2, b, nb, tp, vp, cin, jmask, ks, red, agg, variant,
+                 base_ref, alpha_ref, wf_ref, bf_ref, wqk_ref, bqk_ref,
+                 wrm_ref, brm_ref):
+    co = wf_ref.shape[-1]
+    alpha = alpha_ref[b, 0, 0]
+    dyn_on = variant in ("dyn_notrans", "full", "full_bd")
+    trans_on = variant in ("full", "full_bd")
+    if dyn_on:
+        qk = jnp.dot(x2, wqk_ref[b], preferred_element_type=jnp.float32) \
+            + bqk_ref[b]
+        qk4 = qk.reshape(nb, tp, vp, ks * 2 * red)
+        qk_t = jnp.swapaxes(jnp.swapaxes(qk4, 1, 2), 2, 3)
+    xfs, adjs = [], []
+    for k in range(ks):
+        xf = jnp.dot(x2, wf_ref[b, k], preferred_element_type=jnp.float32) \
+            + bf_ref[b, k]
+        xfs.append((xf * jmask).reshape(nb * tp, vp, co))
+        if not dyn_on:
+            adj = jnp.broadcast_to(base_ref[b, k][None, :, :, 0],
+                                   (nb * tp, vp, vp))
+            adjs.append(adj)
+            continue
+        dyn = None
+        for ri in range(red):
+            qs = qk_t[:, :, k * 2 * red + ri, :]
+            kk = qk_t[:, :, k * 2 * red + red + ri, :]
+            if agg == "right":
+                s = jnp.tanh(qs[:, None, :, :] - kk[:, :, None, :])
+            else:
+                s = jnp.tanh(qs[:, :, None, :] - kk[:, None, :, :])
+            d = jnp.dot(s.reshape(nb * vp * vp, tp), wrm_ref[b, k, ri],
+                        preferred_element_type=jnp.float32)
+            dyn = d if dyn is None else dyn + d
+        adj = dyn.reshape(nb, vp, vp, tp)
+        adj = (adj + brm_ref[b, k]) * alpha + base_ref[b, k][None]
+        if trans_on:
+            adj = jnp.swapaxes(jnp.swapaxes(adj, 2, 3), 1, 2)
+            adjs.append(adj.reshape(nb * tp, vp, vp))
+        else:  # timing-only: reuse the untransposed buffer
+            adjs.append(adj.reshape(nb * tp, vp, vp))
+    adj_cat = adjs[0] if ks == 1 else jnp.concatenate(adjs, axis=2)
+    xf_cat = xfs[0] if ks == 1 else jnp.concatenate(xfs, axis=1)
+    if variant == "full_bd":
+        g = 5
+        out = jax.lax.dot_general(
+            _bd_pack(adj_cat, g),
+            xf_cat.reshape(nb * tp // g, g * ks * vp, co),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        out = out.reshape(nb * tp, vp, co)
+    else:
+        out = jax.lax.dot_general(adj_cat, xf_cat,
+                                  (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+    return out.reshape(nb * tp * vp, co) * jmask
+
+
+def _temporal_var(x2, b, nb, tp, vp, cin, jmask, kt, red, agg, variant,
+                  base_ref, alpha_ref, wf_ref, bf_ref, wqk_ref, bqk_ref,
+                  wrm_ref, brm_ref):
+    co = wf_ref.shape[-1]
+    alpha = alpha_ref[b, 0, 0]
+    dyn_on = variant in ("dyn_notrans", "full", "full_bd")
+    trans_on = variant in ("full", "full_bd")
+    if dyn_on:
+        qk = jnp.dot(x2, wqk_ref[b], preferred_element_type=jnp.float32) \
+            + bqk_ref[b]
+        qk_t = jnp.swapaxes(qk.reshape(nb * tp, vp, kt * 2 * red), 1, 2)
+    xfs, adjs = [], []
+    for k in range(kt):
+        xf = jnp.dot(x2, wf_ref[b, k], preferred_element_type=jnp.float32) \
+            + bf_ref[b, k]
+        xf = xf * jmask
+        xf_v = jnp.swapaxes(xf.reshape(nb, tp, vp, co), 1, 2) \
+            .reshape(nb * vp, tp, co)
+        xfs.append(xf_v)
+        if not dyn_on:
+            adj = jnp.broadcast_to(base_ref[b, k][None, :, :, 0],
+                                   (nb * vp, tp, tp))
+            adjs.append(adj)
+            continue
+        dyn = None
+        for ri in range(red):
+            qs = qk_t[:, k * 2 * red + ri, :].reshape(nb, tp, vp)
+            kk = qk_t[:, k * 2 * red + red + ri, :].reshape(nb, tp, vp)
+            s = jnp.tanh(qs[:, :, None, :] - kk[:, None, :, :])
+            d = jnp.dot(s.reshape(nb * tp * tp, vp), wrm_ref[b, k, ri],
+                        preferred_element_type=jnp.float32)
+            dyn = d if dyn is None else dyn + d
+        adj = dyn.reshape(nb, tp, tp, vp)
+        adj = (adj + brm_ref[b, k]) * alpha + base_ref[b, k][None]
+        if trans_on:
+            adj = jnp.swapaxes(jnp.swapaxes(adj, 2, 3), 1, 2)
+            adj_v = adj.reshape(nb * vp, tp, tp)
+            if agg == "right":
+                adj_v = jnp.swapaxes(adj_v, 1, 2)
+        else:
+            adj_v = adj.reshape(nb * vp, tp, tp)
+        adjs.append(adj_v)
+    adj_cat = adjs[0] if kt == 1 else jnp.concatenate(adjs, axis=2)
+    xf_cat = xfs[0] if kt == 1 else jnp.concatenate(xfs, axis=1)
+    if variant == "full_bd":
+        g = 3
+        out_v = jax.lax.dot_general(
+            _bd_pack(adj_cat, g),
+            xf_cat.reshape(nb * vp // g, g * kt * tp, co),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        out_v = out_v.reshape(nb * vp, tp, co)
+    else:
+        out_v = jax.lax.dot_general(adj_cat, xf_cat,
+                                    (((2,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+    out = jnp.swapaxes(out_v.reshape(nb, vp, tp, co), 1, 2)
+    return out.reshape(nb * tp * vp, co) * jmask
+
+
+def _var_kernel(x_ref, sb, sa, swf, sbf, swqk, sbqk, swrm, sbrm,
+                tb, ta, twf, tbf, twqk, tbqk, twrm, tbrm, out_ref,
+                *, ks, kt, red, agg, v_real, t_real, variant):
+    nb, tp, vp, cin = x_ref.shape
+    jmask = fk._row_mask(nb * tp * vp, tp, vp, t_real, v_real)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _seed():
+        out_ref[:] = x_ref[:]
+
+    if variant == "copy":
+        return
+    x2 = out_ref[:].reshape(nb * tp * vp, cin)
+    y2 = _spatial_var(x2, 0, nb, tp, vp, cin, jmask, ks, red, agg, variant,
+                      sb, sa, swf, sbf, swqk, sbqk, swrm, sbrm)
+    z2 = _temporal_var(y2, 0, nb, tp, vp, cin, jmask, kt, red, agg, variant,
+                       tb, ta, twf, tbf, twqk, tbqk, twrm, tbrm)
+    out_ref[:] = z2.reshape(nb, tp, vp, cin)
+
+
+def chain_variant(x, blocks_params, agg, variant):
+    """fk._chain_pallas with the variant kernel body."""
+    n, t, v, cin = x.shape
+    vp, tp = -(-v // 8) * 8, -(-t // 8) * 8
+    nb = fk._block_samples(n)
+    sp0, tp0 = blocks_params[0]
+    ks, kt, red = sp0[2].shape[0], tp0[2].shape[0], sp0[4].shape[-1]
+    # reuse the production prep by temporarily borrowing _chain_pallas
+    # internals: rebuild stacked args exactly as fused._chain_pallas does
+    import types
+    src = fk._chain_pallas.__code__  # noqa: F841 (documentation only)
+
+    def stack(prep):
+        return [jnp.stack(a) for a in zip(*[prep(s, tt)
+                                            for s, tt in blocks_params])]
+
+    def prep_s(s, _):
+        base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm = s
+        base_p = fk._pad_to(fk._pad_to(base, 1, vp), 2, vp)
+        if agg == "right":
+            base_p = jnp.swapaxes(base_p, 1, 2)
+        wqk, bqk = fk._stack_qk(wm1, bm1, wm2, bm2)
+        wrm_p = fk._pad_to(fk._pad_to(wrm, 2, tp), 3, tp)
+        brm_p = fk._pad_to(brm, 1, tp)[:, None, None, :]
+        return (base_p[..., None], jnp.asarray(alpha, jnp.float32)
+                .reshape(1, 1), wf, bf[:, None, :], wqk, bqk, wrm_p, brm_p)
+
+    def prep_t(_, s):
+        base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm = s
+        wqk, bqk = fk._stack_qk(wm1, bm1, wm2, bm2)
+        wrm_p = fk._pad_to(fk._pad_to(wrm, 2, vp), 3, vp)
+        base_p = fk._pad_to(fk._pad_to(base, 1, tp), 2, tp)[..., None]
+        brm_p = fk._pad_to(brm, 1, vp)[:, None, None, :]
+        return (base_p, jnp.asarray(alpha, jnp.float32).reshape(1, 1),
+                wf, bf[:, None, :], wqk, bqk, wrm_p, brm_p)
+
+    s_args = stack(prep_s)
+    t_args = stack(prep_t)
+    x_p = fk._pad_to(fk._pad_to(x.astype(jnp.float32), 2, vp), 1, tp)
+
+    def per_block(a):
+        nd = a.ndim
+        return pl.BlockSpec((1,) + a.shape[1:],
+                            lambda i, b, _n=nd: (b,) + (0,) * (_n - 1),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_var_kernel, ks=ks, kt=kt, red=red, agg=agg,
+                          v_real=v, t_real=t, variant=variant),
+        out_shape=jax.ShapeDtypeStruct((n, tp, vp, cin), jnp.float32),
+        grid=(n // nb, len(blocks_params)),
+        in_specs=[pl.BlockSpec((nb, tp, vp, cin),
+                               lambda i, b: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [per_block(a) for a in s_args + t_args],
+        out_specs=pl.BlockSpec((nb, tp, vp, cin), lambda i, b: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=fk._vmem_limit()),
+        interpret=fk._interpret(),
+    )(x_p, *s_args, *t_args)
+    return out[:, :t, :v, :]
+
+
+def attempt(name, fn, tries=2):
+    last = None
+    for i in range(tries):
+        try:
+            t0 = time.time()
+            out = fn()
+            log(section=name, ms=out, wall_s=round(time.time() - t0, 1))
+            return out
+        except Exception as e:
+            last = f"{type(e).__name__}: {str(e)[:300]}"
+            time.sleep(5)
+    log(section=name, ms=None, err=last)
+    return None
+
+
+def main():
+    log(device=str(jax.devices()[0]))
+    n, t, v, c, blocks = 128, 35, 22, 64, 7
+    rng = np.random.RandomState(0)
+    params = bench._naive_params(rng, blocks, c, t, v)
+    x = jnp.asarray(rng.randn(n, t, v, c).astype(np.float32))
+    cb = bench._chain_blocks(params)
+
+    # correctness spot check for full_bd on the interpreter path is done in
+    # tests; here verify on-chip full vs full_bd agree to bf16 tolerance
+    for variant in ("copy", "base_agg", "dyn_notrans", "full", "full_bd"):
+        attempt(variant, lambda vv=variant: round(bench._time_slope(
+            lambda xx: chain_variant(xx, cb, "right", vv), x, 5, 25) * 1e3,
+            3))
+    try:
+        a = chain_variant(x, cb, "right", "full")
+        bsl = chain_variant(x, cb, "right", "full_bd")
+        log(bd_max_rel=float(jnp.max(jnp.abs(a - bsl))
+                             / (jnp.max(jnp.abs(a)) + 1e-9)))
+    except Exception as e:
+        log(bd_check_err=str(e)[:200])
+
+    os.environ["DSTDGCN_FUSED_NB"] = "2"
+    attempt("full_bd_nb2", lambda: round(bench._time_slope(
+        lambda xx: chain_variant(xx, cb, "right", "full_bd"), x, 5, 25)
+        * 1e3, 3))
+    os.environ["DSTDGCN_FUSED_NB"] = "4"
+
+    # pallas train step (bwd kernels now compile)
+    attempt("train_b128_pallas", lambda: round(
+        bench.bench_train_step(128, True) * 1e3, 3))
+    log(done=True)
+
+
+if __name__ == "__main__":
+    main()
