@@ -182,7 +182,7 @@ def stacked_forward(params_list, x_ntvc, use_fused=False, dtype=None,
 
     if use_fused:
         from dstdgcn_tpu.kernels import fused as ops
-        kw_s = kw_t = {"agg": agg}
+        kw_s = kw_t = {"agg": agg, "dtype": dtype}
     else:
         from dstdgcn_tpu.ops import dstd as ops
         kw_s = {"dtype": dtype, "pair_flat": pair_flat, "agg": agg,
@@ -219,10 +219,21 @@ def _loop_total(op, x0, iters):
 
 def _time_slope(op, x0, i1=5, i2=25):
     """Marginal per-op seconds: two-point slope cancels the tunneled
-    chip's fixed per-dispatch overhead (scripts/probe_mosaic11)."""
-    t1 = _loop_total(op, x0, i1)
-    t2 = _loop_total(op, x0, i2)
-    return max((t2 - t1) / (i2 - i1), 1e-9)
+    chip's fixed per-dispatch overhead (scripts/probe_mosaic11).
+
+    Robustness: a noisy dispatch (the tunnel's fixed cost varies by ~ms
+    under load) can make the slope collapse to ~0 (observed: the round-3
+    head run reported 0.0 ms for the reference-style forward, poisoning
+    vs_baseline).  A slope under 20%% of the amortized i2 time is treated
+    as noise: re-measure once, then fall back to t2/i2 (a conservative
+    upper bound that still contains the dispatch cost / i2)."""
+    for _ in range(2):
+        t1 = _loop_total(op, x0, i1)
+        t2 = _loop_total(op, x0, i2)
+        slope = (t2 - t1) / (i2 - i1)
+        if slope >= 0.2 * (t2 / i2):
+            return slope
+    return max(t2 / i2, 1e-9)
 
 
 def _flaky_compile(exc) -> bool:

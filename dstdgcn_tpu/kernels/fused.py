@@ -116,9 +116,27 @@ def _row_mask(nrows: int, tp: int, vp: int, t_real: int, v_real: int):
     return jnp.where(ok, 1.0, 0.0).astype(jnp.float32)
 
 
+def _dot_fn(dtype):
+    """MXU matmul helper: optionally cast INPUTS to ``dtype`` (bf16) while
+    accumulating in f32 — the v5e MXU runs bf16 inputs at ~4x the f32
+    issue rate, and every matmul in these kernels has small K/N dims, so
+    the cast overhead is tiny relative to the rate win."""
+
+    def dot(a, b, dims=None):
+        if dtype is not None:
+            a, b = a.astype(dtype), b.astype(dtype)
+        if dims is None:
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+        return jax.lax.dot_general(a, b, dims,
+                                   preferred_element_type=jnp.float32)
+
+    return dot
+
+
 def _spatial_kernel(x_ref, base_ref, alpha_ref, wf_ref, bf_ref, wqk_ref,
                     bqk_ref, wrm_ref, brm_ref, out_ref,
-                    *, num_kernels: int, red: int, agg: str, v_real: int):
+                    *, num_kernels: int, red: int, agg: str, v_real: int,
+                    dtype=None):
     """Spatial DSTD-GC: per-frame joint graph (reference dstdgcn.py:75-87).
 
     x (nb, T, Vp, Ci) -> out (nb, T, Vp, Co).  Host-prepared weights:
@@ -129,20 +147,19 @@ def _spatial_kernel(x_ref, base_ref, alpha_ref, wf_ref, bf_ref, wqk_ref,
     """
     nb, t, vp, cin = x_ref.shape
     co = out_ref.shape[-1]
+    dot = _dot_fn(dtype)
     x2 = x_ref[:].reshape(nb * t * vp, cin)
     alpha = alpha_ref[0, 0]
     jmask = _row_mask(nb * t * vp, t, vp, t, v_real)
 
     # one stacked correlation projection + ONE relayout to frames-on-lanes
-    qk = jnp.dot(x2, wqk_ref[:], preferred_element_type=jnp.float32) \
-        + bqk_ref[0]
+    qk = dot(x2, wqk_ref[:]) + bqk_ref[0]
     qk4 = qk.reshape(nb, t, vp, num_kernels * 2 * red)
     qk_t = jnp.swapaxes(jnp.swapaxes(qk4, 1, 2), 2, 3)   # (nb, vp, K2R, t)
 
     xfs, adjs = [], []
     for k in range(num_kernels):
-        xf = jnp.dot(x2, wf_ref[k], preferred_element_type=jnp.float32) \
-            + bf_ref[k]
+        xf = dot(x2, wf_ref[k]) + bf_ref[k]
         xfs.append((xf * jmask).reshape(nb * t, vp, co))
         dyn = None
         for ri in range(red):
@@ -156,8 +173,7 @@ def _spatial_kernel(x_ref, base_ref, alpha_ref, wf_ref, bf_ref, wqk_ref,
             else:
                 s = jnp.tanh(qs[:, :, None, :] - ks[:, None, :, :])
             # mixing factorized over R: (nb*A*B, Ts) @ (Ts, To), f32 accum
-            d = jnp.dot(s.reshape(nb * vp * vp, t), wrm_ref[k, ri],
-                        preferred_element_type=jnp.float32)
+            d = dot(s.reshape(nb * vp * vp, t), wrm_ref[k, ri])
             dyn = d if dyn is None else dyn + d
         adj = dyn.reshape(nb, vp, vp, t)
         adj = (adj + brm_ref[k]) * alpha + base_ref[k][None]
@@ -168,9 +184,7 @@ def _spatial_kernel(x_ref, base_ref, alpha_ref, wf_ref, bf_ref, wqk_ref,
     # lanes, features on sublanes
     adj_cat = adjs[0] if num_kernels == 1 else jnp.concatenate(adjs, axis=2)
     xf_cat = xfs[0] if num_kernels == 1 else jnp.concatenate(xfs, axis=1)
-    out = jax.lax.dot_general(
-        adj_cat, xf_cat, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)              # (nb*T, Vp, Co)
+    out = dot(adj_cat, xf_cat, (((2,), (1,)), ((0,), (0,))))  # (nb*T,Vp,Co)
     out = out.reshape(nb * t * vp, co) * jmask
     out_ref[:] = out.reshape(nb, t, vp, co)
 
@@ -178,7 +192,7 @@ def _spatial_kernel(x_ref, base_ref, alpha_ref, wf_ref, bf_ref, wqk_ref,
 def _temporal_kernel(x_ref, base_ref, alpha_ref, wf_ref, bf_ref, wqk_ref,
                      bqk_ref, wrm_ref, brm_ref, out_ref,
                      *, num_kernels: int, red: int, agg: str, v_real: int,
-                     t_real: int):
+                     t_real: int, dtype=None):
     """Temporal DSTD-GC: per-joint frame graph (reference dstdgcn.py:89-93).
 
     x (nb, Tp, Vp, Ci) -> out (nb, Tp, Vp, Co), frames AND joints padded.
@@ -187,21 +201,20 @@ def _temporal_kernel(x_ref, base_ref, alpha_ref, wf_ref, bf_ref, wqk_ref,
     """
     nb, tp, vp, cin = x_ref.shape
     co = out_ref.shape[-1]
+    dot = _dot_fn(dtype)
     x2 = x_ref[:].reshape(nb * tp * vp, cin)
     alpha = alpha_ref[0, 0]
     mask = _row_mask(nb * tp * vp, tp, vp, t_real, v_real)
 
     # stacked projection; scores want joints-on-lanes, which is ONE
     # minor-dims transpose of the panel (then every slice is layout-free)
-    qk = jnp.dot(x2, wqk_ref[:], preferred_element_type=jnp.float32) \
-        + bqk_ref[0]
+    qk = dot(x2, wqk_ref[:]) + bqk_ref[0]
     qk3 = qk.reshape(nb * tp, vp, num_kernels * 2 * red)
     qk_t = jnp.swapaxes(qk3, 1, 2)                       # (nb*Tp, K2R, vp)
 
     xfs, adjs = [], []
     for k in range(num_kernels):
-        xf = jnp.dot(x2, wf_ref[k], preferred_element_type=jnp.float32) \
-            + bf_ref[k]
+        xf = dot(x2, wf_ref[k]) + bf_ref[k]
         xf = xf * mask
         # features batched over (n, joint) for the per-joint aggregation
         xf_v = jnp.swapaxes(xf.reshape(nb, tp, vp, co), 1, 2) \
@@ -215,8 +228,7 @@ def _temporal_kernel(x_ref, base_ref, alpha_ref, wf_ref, bf_ref, wqk_ref,
             # joints are on lanes so the joint mixing is a flat matmul
             s = jnp.tanh(qs[:, :, None, :] - ks[:, None, :, :])
             # padded score joints are killed by the zero wrm rows
-            d = jnp.dot(s.reshape(nb * tp * tp, vp), wrm_ref[k, ri],
-                        preferred_element_type=jnp.float32)
+            d = dot(s.reshape(nb * tp * tp, vp), wrm_ref[k, ri])
             dyn = d if dyn is None else dyn + d
         adj = dyn.reshape(nb, tp, tp, vp)
         adj = (adj + brm_ref[k]) * alpha + base_ref[k][None]
@@ -229,9 +241,7 @@ def _temporal_kernel(x_ref, base_ref, alpha_ref, wf_ref, bf_ref, wqk_ref,
         adjs.append(adj_v)
     adj_cat = adjs[0] if num_kernels == 1 else jnp.concatenate(adjs, axis=2)
     xf_cat = xfs[0] if num_kernels == 1 else jnp.concatenate(xfs, axis=1)
-    out_v = jax.lax.dot_general(
-        adj_cat, xf_cat, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)              # (nb*Vp, Tp, Co)
+    out_v = dot(adj_cat, xf_cat, (((2,), (1,)), ((0,), (0,))))  # (nbV,Tp,Co)
     out = jnp.swapaxes(out_v.reshape(nb, vp, tp, co), 1, 2)
     out = out.reshape(nb * tp * vp, co) * mask
     out_ref[:] = out.reshape(nb, tp, vp, co)
@@ -265,7 +275,7 @@ def _prep_temporal(base, wrm, brm, vp, tp, agg):
 
 
 def _pallas_forward(kernel_body, prep, pad_t, x, base, alpha, wf, bf, wm1,
-                    bm1, wm2, bm2, wrm, brm, agg: str):
+                    bm1, wm2, bm2, wrm, brm, agg: str, dtype=None):
     n, t, v, cin = x.shape
     k = wf.shape[0]
     co = wf.shape[-1]
@@ -288,7 +298,7 @@ def _pallas_forward(kernel_body, prep, pad_t, x, base, alpha, wf, bf, wm1,
 
     out = pl.pallas_call(
         functools.partial(kernel_body, num_kernels=k, red=red, agg=agg,
-                          v_real=v, **extra),
+                          v_real=v, dtype=dtype, **extra),
         out_shape=jax.ShapeDtypeStruct((n, tp, vp, co), jnp.float32),
         grid=(n // nb,),
         in_specs=[
@@ -309,31 +319,33 @@ def _pallas_forward(kernel_body, prep, pad_t, x, base, alpha, wf, bf, wm1,
 
 def _make_op(kernel_body, prep, pad_t, oracle_fn, pallas_bwd_name):
 
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
     def op(x, base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
-           mask=None, agg="right"):
+           mask=None, agg="right", dtype=None):
         if mask is not None or not available():
             return oracle_fn(x, base, alpha, wf, bf, wm1, bm1, wm2, bm2,
-                             wrm, brm, mask, agg)
+                             wrm, brm, mask, agg, dtype)
         return _pallas_forward(kernel_body, prep, pad_t, x, base, alpha,
-                               wf, bf, wm1, bm1, wm2, bm2, wrm, brm, agg)
+                               wf, bf, wm1, bm1, wm2, bm2, wrm, brm, agg,
+                               dtype)
 
-    def fwd(x, base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm, mask, agg):
+    def fwd(x, base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm, mask, agg,
+            dtype):
         out = op(x, base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
-                 mask, agg)
+                 mask, agg, dtype)
         return out, (x, base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm)
 
-    def bwd(mask, agg, res, g):
+    def bwd(mask, agg, dtype, res, g):
         use_pallas_bwd = (mask is None and available() and
                           os.environ.get("DSTDGCN_PALLAS_BWD", "1") == "1")
         if use_pallas_bwd:
             # hand-derived whole-op backward kernel: dx + every weight
             # grad in one VMEM pass (kernels/fused_bwd.py)
             from . import fused_bwd
-            return getattr(fused_bwd, pallas_bwd_name)(res, g, agg)
+            return getattr(fused_bwd, pallas_bwd_name)(res, g, agg, dtype)
         # exact gradients via the oracle formulation (XLA backward)
         def f(*args):
-            return oracle_fn(*args, mask, agg)
+            return oracle_fn(*args, mask, agg, dtype)
         _, vjp = jax.vjp(f, *res)
         return vjp(g)
 
@@ -375,17 +387,16 @@ dstd_temporal = _make_op(_temporal_kernel, _prep_temporal, True,
 
 def _spatial_body(x2, b, nb, tp, vp, cin, jmask, ks, red, agg,
                   base_ref, alpha_ref, wf_ref, bf_ref, wqk_ref, bqk_ref,
-                  wrm_ref, brm_ref):
+                  wrm_ref, brm_ref, dtype=None):
     co = wf_ref.shape[-1]
+    dot = _dot_fn(dtype)
     alpha = alpha_ref[b, 0, 0]
-    qk = jnp.dot(x2, wqk_ref[b], preferred_element_type=jnp.float32) \
-        + bqk_ref[b]
+    qk = dot(x2, wqk_ref[b]) + bqk_ref[b]
     qk4 = qk.reshape(nb, tp, vp, ks * 2 * red)
     qk_t = jnp.swapaxes(jnp.swapaxes(qk4, 1, 2), 2, 3)   # (nb, vp, K2R, tp)
     xfs, adjs = [], []
     for k in range(ks):
-        xf = jnp.dot(x2, wf_ref[b, k], preferred_element_type=jnp.float32) \
-            + bf_ref[b, k]
+        xf = dot(x2, wf_ref[b, k]) + bf_ref[b, k]
         xfs.append((xf * jmask).reshape(nb * tp, vp, co))
         dyn = None
         for ri in range(red):
@@ -395,8 +406,7 @@ def _spatial_body(x2, b, nb, tp, vp, cin, jmask, ks, red, agg,
                 s = jnp.tanh(qs[:, None, :, :] - kk[:, :, None, :])
             else:
                 s = jnp.tanh(qs[:, :, None, :] - kk[:, None, :, :])
-            d = jnp.dot(s.reshape(nb * vp * vp, tp), wrm_ref[b, k, ri],
-                        preferred_element_type=jnp.float32)
+            d = dot(s.reshape(nb * vp * vp, tp), wrm_ref[b, k, ri])
             dyn = d if dyn is None else dyn + d
         adj = dyn.reshape(nb, vp, vp, tp)
         adj = (adj + brm_ref[b, k]) * alpha + base_ref[b, k][None]
@@ -404,24 +414,22 @@ def _spatial_body(x2, b, nb, tp, vp, cin, jmask, ks, red, agg,
         adjs.append(adj.reshape(nb * tp, vp, vp))
     adj_cat = adjs[0] if ks == 1 else jnp.concatenate(adjs, axis=2)
     xf_cat = xfs[0] if ks == 1 else jnp.concatenate(xfs, axis=1)
-    out = jax.lax.dot_general(adj_cat, xf_cat, (((2,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32)
+    out = dot(adj_cat, xf_cat, (((2,), (1,)), ((0,), (0,))))
     return out.reshape(nb * tp * vp, co) * jmask
 
 
 def _temporal_body(x2, b, nb, tp, vp, cin, jmask, kt, red, agg,
                    base_ref, alpha_ref, wf_ref, bf_ref, wqk_ref, bqk_ref,
-                   wrm_ref, brm_ref):
+                   wrm_ref, brm_ref, dtype=None):
     co = wf_ref.shape[-1]
+    dot = _dot_fn(dtype)
     alpha = alpha_ref[b, 0, 0]
-    qk = jnp.dot(x2, wqk_ref[b], preferred_element_type=jnp.float32) \
-        + bqk_ref[b]
+    qk = dot(x2, wqk_ref[b]) + bqk_ref[b]
     qk3 = qk.reshape(nb * tp, vp, kt * 2 * red)
     qk_t = jnp.swapaxes(qk3, 1, 2)                       # (nb*Tp, K2R, vp)
     xfs, adjs = [], []
     for k in range(kt):
-        xf = jnp.dot(x2, wf_ref[b, k], preferred_element_type=jnp.float32) \
-            + bf_ref[b, k]
+        xf = dot(x2, wf_ref[b, k]) + bf_ref[b, k]
         xf = xf * jmask
         xf_v = jnp.swapaxes(xf.reshape(nb, tp, vp, co), 1, 2) \
             .reshape(nb * vp, tp, co)
@@ -431,8 +439,7 @@ def _temporal_body(x2, b, nb, tp, vp, cin, jmask, kt, red, agg,
             qs = qk_t[:, k * 2 * red + ri, :].reshape(nb, tp, vp)
             kk = qk_t[:, k * 2 * red + red + ri, :].reshape(nb, tp, vp)
             s = jnp.tanh(qs[:, :, None, :] - kk[:, None, :, :])
-            d = jnp.dot(s.reshape(nb * tp * tp, vp), wrm_ref[b, k, ri],
-                        preferred_element_type=jnp.float32)
+            d = dot(s.reshape(nb * tp * tp, vp), wrm_ref[b, k, ri])
             dyn = d if dyn is None else dyn + d
         adj = dyn.reshape(nb, tp, tp, vp)
         adj = (adj + brm_ref[b, k]) * alpha + base_ref[b, k][None]
@@ -443,8 +450,7 @@ def _temporal_body(x2, b, nb, tp, vp, cin, jmask, kt, red, agg,
         adjs.append(adj_v)
     adj_cat = adjs[0] if kt == 1 else jnp.concatenate(adjs, axis=2)
     xf_cat = xfs[0] if kt == 1 else jnp.concatenate(xfs, axis=1)
-    out_v = jax.lax.dot_general(adj_cat, xf_cat, (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
+    out_v = dot(adj_cat, xf_cat, (((2,), (1,)), ((0,), (0,))))
     out = jnp.swapaxes(out_v.reshape(nb, vp, tp, co), 1, 2)
     return out.reshape(nb * tp * vp, co) * jmask
 
@@ -452,7 +458,8 @@ def _temporal_body(x2, b, nb, tp, vp, cin, jmask, kt, red, agg,
 def _chain_grid_kernel(x_ref, sb_ref, sa_ref, swf_ref, sbf_ref, swqk_ref,
                        sbqk_ref, swrm_ref, sbrm_ref, tb_ref, ta_ref, twf_ref,
                        tbf_ref, twqk_ref, tbqk_ref, twrm_ref, tbrm_ref,
-                       out_ref, *, ks, kt, red, agg, v_real, t_real):
+                       out_ref, *, ks, kt, red, agg, v_real, t_real,
+                       dtype=None):
     """One (spatial, temporal) DSTD-GC block of the chain.
 
     Grid = (samples/nb, blocks) with the block index minor; every weight
@@ -472,17 +479,18 @@ def _chain_grid_kernel(x_ref, sb_ref, sa_ref, swf_ref, sbf_ref, swqk_ref,
     x2 = out_ref[:].reshape(nb * tp * vp, cin)
     y2 = _spatial_body(x2, 0, nb, tp, vp, cin, jmask, ks, red, agg,
                        sb_ref, sa_ref, swf_ref, sbf_ref, swqk_ref,
-                       sbqk_ref, swrm_ref, sbrm_ref)
+                       sbqk_ref, swrm_ref, sbrm_ref, dtype)
     z2 = _temporal_body(y2, 0, nb, tp, vp, cin, jmask, kt, red, agg,
                         tb_ref, ta_ref, twf_ref, tbf_ref, twqk_ref,
-                        tbqk_ref, twrm_ref, tbrm_ref)
+                        tbqk_ref, twrm_ref, tbrm_ref, dtype)
     out_ref[:] = z2.reshape(nb, tp, vp, cin)
 
 
-def _chain_pallas(x, blocks_params, agg):
+def _chain_pallas(x, blocks_params, agg, dtype=None, nb=None):
     n, t, v, cin = x.shape
     vp, tp = -(-v // 8) * 8, -(-t // 8) * 8
-    nb = _block_samples(n)
+    if nb is None or n % nb != 0:
+        nb = _block_samples(n)
     sp0, tp0 = blocks_params[0]
     ks, kt, red = sp0[2].shape[0], tp0[2].shape[0], sp0[4].shape[-1]
 
@@ -525,7 +533,7 @@ def _chain_pallas(x, blocks_params, agg):
 
     out = pl.pallas_call(
         functools.partial(_chain_grid_kernel, ks=ks, kt=kt, red=red,
-                          agg=agg, v_real=v, t_real=t),
+                          agg=agg, v_real=v, t_real=t, dtype=dtype),
         out_shape=jax.ShapeDtypeStruct((n, tp, vp, cin), jnp.float32),
         grid=(n // nb, len(blocks_params)),
         in_specs=[pl.BlockSpec((nb, tp, vp, cin),
@@ -551,8 +559,8 @@ def _chain_oracle(x, blocks_params, agg):
     return x
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def dstd_chain(x, blocks_params, agg="right"):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def dstd_chain(x, blocks_params, agg="right", dtype=None, nb=None):
     """B-block (spatial, temporal) DSTD-GC chain as ONE fused kernel.
 
     ``blocks_params``: list of ``(spatial_args, temporal_args)`` tuples,
@@ -561,17 +569,21 @@ def dstd_chain(x, blocks_params, agg="right"):
     Requires constant channel width across the chain.  Matches running the
     per-op chain (reference model/dstdgcn.py:145-161 applied B times);
     gradients replay the oracle chain.
+
+    ``dtype`` (e.g. ``jnp.bfloat16``) casts every MXU matmul's INPUTS
+    inside the kernel while accumulating f32; ``nb`` overrides the samples
+    per grid program (VMEM residency vs pipeline-depth trade-off).
     """
     if not available():
         return _chain_oracle(x, blocks_params, agg)
-    return _chain_pallas(x, blocks_params, agg)
+    return _chain_pallas(x, blocks_params, agg, dtype, nb)
 
 
-def _chain_fwd(x, blocks_params, agg):
-    return dstd_chain(x, blocks_params, agg), (x, blocks_params)
+def _chain_fwd(x, blocks_params, agg, dtype, nb):
+    return dstd_chain(x, blocks_params, agg, dtype, nb), (x, blocks_params)
 
 
-def _chain_bwd(agg, res, g):
+def _chain_bwd(agg, dtype, nb, res, g):
     x, blocks_params = res
     _, vjp = jax.vjp(lambda xx, ps: _chain_oracle(xx, ps, agg), x,
                      blocks_params)

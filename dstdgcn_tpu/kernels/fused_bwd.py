@@ -49,10 +49,16 @@ def _rowsum(a):
     return jnp.sum(a, axis=0, keepdims=True)
 
 
-def _contract_rows(a, b):
-    """(rows, m) x (rows, n) -> (m, n)."""
-    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+def _contract_rows_fn(dtype):
+    """(rows, m) x (rows, n) -> (m, n), optionally with bf16 inputs."""
+
+    def contract(a, b):
+        if dtype is not None:
+            a, b = a.astype(dtype), b.astype(dtype)
+        return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    return contract
 
 
 def _spatial_bwd_kernel(x_ref, g_ref, base_ref, alpha_ref, wf_ref, bf_ref,
@@ -60,10 +66,12 @@ def _spatial_bwd_kernel(x_ref, g_ref, base_ref, alpha_ref, wf_ref, bf_ref,
                         dx_ref, dwf_ref, dbf_ref, dwqk_ref, dbqk_ref,
                         dwrm_ref, dbrm_ref, dbase_ref, dalpha_ref,
                         *, num_kernels: int, red: int, agg: str,
-                        v_real: int):
+                        v_real: int, dtype=None):
     nb, t, vp, cin = x_ref.shape
     co = g_ref.shape[-1]
     k2r = num_kernels * 2 * red
+    dot = _f._dot_fn(dtype)
+    _contract_rows = _contract_rows_fn(dtype)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -78,8 +86,7 @@ def _spatial_bwd_kernel(x_ref, g_ref, base_ref, alpha_ref, wf_ref, bf_ref,
     g2 = g_ref[:].reshape(rows, co) * jmask
 
     # recompute the stacked q/k panel in scores layout (as the forward)
-    qk = jnp.dot(x2, wqk_ref[:], preferred_element_type=jnp.float32) \
-        + bqk_ref[0]
+    qk = dot(x2, wqk_ref[:]) + bqk_ref[0]
     qk_t = jnp.swapaxes(jnp.swapaxes(
         qk.reshape(nb, t, vp, k2r), 1, 2), 2, 3)         # (nb, vp, K2R, t)
 
@@ -88,8 +95,7 @@ def _spatial_bwd_kernel(x_ref, g_ref, base_ref, alpha_ref, wf_ref, bf_ref,
     dalpha = jnp.zeros((), jnp.float32)
     dqk_cols = [None] * k2r
     for k in range(num_kernels):
-        xf = (jnp.dot(x2, wf_ref[k], preferred_element_type=jnp.float32)
-              + bf_ref[k]) * jmask
+        xf = (dot(x2, wf_ref[k]) + bf_ref[k]) * jmask
         xf3 = xf.reshape(nb * t, vp, co)
         # recompute scores + dynamic adjacency (pre brm/alpha/base)
         s_list, dyn = [], None
@@ -101,8 +107,7 @@ def _spatial_bwd_kernel(x_ref, g_ref, base_ref, alpha_ref, wf_ref, bf_ref,
             else:
                 s = jnp.tanh(qs[:, :, None, :] - ks[:, None, :, :])
             s_list.append(s)
-            d = jnp.dot(s.reshape(nb * vp * vp, t), wrm_ref[k, ri],
-                        preferred_element_type=jnp.float32)
+            d = dot(s.reshape(nb * vp * vp, t), wrm_ref[k, ri])
             dyn = d if dyn is None else dyn + d
         dyn4 = dyn.reshape(nb, vp, vp, t)                # (nb, a, b, to)
         adj4 = (dyn4 + brm_ref[k]) * alpha + base_ref[k][None]
@@ -110,17 +115,14 @@ def _spatial_bwd_kernel(x_ref, g_ref, base_ref, alpha_ref, wf_ref, bf_ref,
             .reshape(nb * t, vp, vp)                     # (nt, a, b)
 
         # aggregation backward: out = A @ xf (contract b)
-        dxf = jax.lax.dot_general(adjb, g3, (((1,), (1,)), ((0,), (0,))),
-                                  preferred_element_type=jnp.float32)
+        dxf = dot(adjb, g3, (((1,), (1,)), ((0,), (0,))))
         dxf2 = dxf.reshape(rows, co) * jmask
         dwf_ref[k, :, :] += _contract_rows(x2, dxf2)
         dbf_ref[k, :, :] += _rowsum(dxf2)
-        dxk = jax.lax.dot_general(dxf2, wf_ref[k], (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+        dxk = dot(dxf2, wf_ref[k], (((1,), (1,)), ((), ())))
         dx = dxk if dx is None else dx + dxk
 
-        dA = jax.lax.dot_general(g3, xf3, (((2,), (2,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)
+        dA = dot(g3, xf3, (((2,), (2,)), ((0,), (0,))))
         dbase_ref[k, :, :] += jnp.sum(dA, axis=0)        # kernel layout
         dA4 = jnp.swapaxes(jnp.swapaxes(
             dA.reshape(nb, t, vp, vp), 1, 2), 2, 3)      # (nb, a, b, to)
@@ -132,9 +134,7 @@ def _spatial_bwd_kernel(x_ref, g_ref, base_ref, alpha_ref, wf_ref, bf_ref,
             s = s_list[ri]
             s_flat = s.reshape(nb * vp * vp, t)
             dwrm_ref[k, ri, :, :] += _contract_rows(s_flat, ddyn)
-            ds = jax.lax.dot_general(
-                ddyn, wrm_ref[k, ri], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            ds = dot(ddyn, wrm_ref[k, ri], (((1,), (1,)), ((), ())))
             du = ds.reshape(nb, vp, vp, t) * (1.0 - s * s)
             if agg == "right":                # s = q[b] - k[a]
                 dqs, dks = jnp.sum(du, axis=1), -jnp.sum(du, axis=2)
@@ -147,8 +147,7 @@ def _spatial_bwd_kernel(x_ref, g_ref, base_ref, alpha_ref, wf_ref, bf_ref,
     dqk = jnp.swapaxes(jnp.swapaxes(dqk_t, 2, 3), 1, 2).reshape(rows, k2r)
     dwqk_ref[...] += _contract_rows(x2, dqk)
     dbqk_ref[...] += _rowsum(dqk)
-    dx = dx + jax.lax.dot_general(dqk, wqk_ref[:], (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+    dx = dx + dot(dqk, wqk_ref[:], (((1,), (1,)), ((), ())))
     # scalar stores to VMEM are rejected by Mosaic; accumulate as (1, 1)
     dalpha_ref[...] += dalpha.reshape(1, 1)
     dx_ref[:] = (dx * jmask).reshape(nb, t, vp, cin)
@@ -159,10 +158,12 @@ def _temporal_bwd_kernel(x_ref, g_ref, base_ref, alpha_ref, wf_ref, bf_ref,
                          dx_ref, dwf_ref, dbf_ref, dwqk_ref, dbqk_ref,
                          dwrm_ref, dbrm_ref, dbase_ref, dalpha_ref,
                          *, num_kernels: int, red: int, agg: str,
-                         v_real: int, t_real: int):
+                         v_real: int, t_real: int, dtype=None):
     nb, tp, vp, cin = x_ref.shape
     co = g_ref.shape[-1]
     k2r = num_kernels * 2 * red
+    dot = _f._dot_fn(dtype)
+    _contract_rows = _contract_rows_fn(dtype)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -178,16 +179,14 @@ def _temporal_bwd_kernel(x_ref, g_ref, base_ref, alpha_ref, wf_ref, bf_ref,
     g_v = jnp.swapaxes(g2.reshape(nb, tp, vp, co), 1, 2) \
         .reshape(nb * vp, tp, co)
 
-    qk = jnp.dot(x2, wqk_ref[:], preferred_element_type=jnp.float32) \
-        + bqk_ref[0]
+    qk = dot(x2, wqk_ref[:]) + bqk_ref[0]
     qk_t = jnp.swapaxes(qk.reshape(nb * tp, vp, k2r), 1, 2)
 
     dx = None
     dalpha = jnp.zeros((), jnp.float32)
     dqk_cols = [None] * k2r
     for k in range(num_kernels):
-        xf = (jnp.dot(x2, wf_ref[k], preferred_element_type=jnp.float32)
-              + bf_ref[k]) * mask
+        xf = (dot(x2, wf_ref[k]) + bf_ref[k]) * mask
         xf_v = jnp.swapaxes(xf.reshape(nb, tp, vp, co), 1, 2) \
             .reshape(nb * vp, tp, co)
         s_list, dyn = [], None
@@ -196,8 +195,7 @@ def _temporal_bwd_kernel(x_ref, g_ref, base_ref, alpha_ref, wf_ref, bf_ref,
             ks = qk_t[:, k * 2 * red + red + ri, :].reshape(nb, tp, vp)
             s = jnp.tanh(qs[:, :, None, :] - ks[:, None, :, :])
             s_list.append(s)
-            d = jnp.dot(s.reshape(nb * tp * tp, vp), wrm_ref[k, ri],
-                        preferred_element_type=jnp.float32)
+            d = dot(s.reshape(nb * tp * tp, vp), wrm_ref[k, ri])
             dyn = d if dyn is None else dyn + d
         dyn4 = dyn.reshape(nb, tp, tp, vp)               # (nb, tq, tu, w)
         adj4 = (dyn4 + brm_ref[k]) * alpha + base_ref[k][None]
@@ -206,18 +204,15 @@ def _temporal_bwd_kernel(x_ref, g_ref, base_ref, alpha_ref, wf_ref, bf_ref,
         a_eff = jnp.swapaxes(adj_v, 1, 2) if agg == "right" else adj_v
 
         # aggregation backward: out_v = A_eff @ xf_v (contract 2nd dim)
-        dxf_v = jax.lax.dot_general(a_eff, g_v, (((1,), (1,)), ((0,), (0,))),
-                                    preferred_element_type=jnp.float32)
+        dxf_v = dot(a_eff, g_v, (((1,), (1,)), ((0,), (0,))))
         dxf = jnp.swapaxes(dxf_v.reshape(nb, vp, tp, co), 1, 2) \
             .reshape(rows, co) * mask
         dwf_ref[k, :, :] += _contract_rows(x2, dxf)
         dbf_ref[k, :, :] += _rowsum(dxf)
-        dxk = jax.lax.dot_general(dxf, wf_ref[k], (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+        dxk = dot(dxf, wf_ref[k], (((1,), (1,)), ((), ())))
         dx = dxk if dx is None else dx + dxk
 
-        dA_eff = jax.lax.dot_general(g_v, xf_v, (((2,), (2,)), ((0,), (0,))),
-                                     preferred_element_type=jnp.float32)
+        dA_eff = dot(g_v, xf_v, (((2,), (2,)), ((0,), (0,))))
         dadj_v = jnp.swapaxes(dA_eff, 1, 2) if agg == "right" else dA_eff
         dA4 = jnp.swapaxes(jnp.swapaxes(
             dadj_v.reshape(nb, vp, tp, tp), 1, 2), 2, 3)  # (nb, tq, tu, w)
@@ -230,9 +225,7 @@ def _temporal_bwd_kernel(x_ref, g_ref, base_ref, alpha_ref, wf_ref, bf_ref,
             s = s_list[ri]
             s_flat = s.reshape(nb * tp * tp, vp)
             dwrm_ref[k, ri, :, :] += _contract_rows(s_flat, ddyn)
-            ds = jax.lax.dot_general(
-                ddyn, wrm_ref[k, ri], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            ds = dot(ddyn, wrm_ref[k, ri], (((1,), (1,)), ((), ())))
             du = ds.reshape(nb, tp, tp, vp) * (1.0 - s * s)
             dqs, dks = jnp.sum(du, axis=2), -jnp.sum(du, axis=1)
             dqk_cols[k * 2 * red + ri] = \
@@ -244,15 +237,14 @@ def _temporal_bwd_kernel(x_ref, g_ref, base_ref, alpha_ref, wf_ref, bf_ref,
     dqk = jnp.swapaxes(dqk_t, 1, 2).reshape(rows, k2r)
     dwqk_ref[...] += _contract_rows(x2, dqk)
     dbqk_ref[...] += _rowsum(dqk)
-    dx = dx + jax.lax.dot_general(dqk, wqk_ref[:], (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+    dx = dx + dot(dqk, wqk_ref[:], (((1,), (1,)), ((), ())))
     # scalar stores to VMEM are rejected by Mosaic; accumulate as (1, 1)
     dalpha_ref[...] += dalpha.reshape(1, 1)
     dx_ref[:] = (dx * mask).reshape(nb, tp, vp, cin)
 
 
 def _run_bwd(kernel_body, prep, pad_t, x, g, base, alpha, wf, bf, wm1, bm1,
-             wm2, bm2, wrm, brm, agg):
+             wm2, bm2, wrm, brm, agg, dtype=None):
     n, t, v, cin = x.shape
     k = wf.shape[0]
     co = wf.shape[-1]
@@ -294,7 +286,7 @@ def _run_bwd(kernel_body, prep, pad_t, x, g, base, alpha, wf, bf, wm1, bm1,
     )
     outs = pl.pallas_call(
         functools.partial(kernel_body, num_kernels=k, red=red, agg=agg,
-                          v_real=v, **extra),
+                          v_real=v, dtype=dtype, **extra),
         out_shape=out_shapes,
         grid=(n // nb,),
         in_specs=[
@@ -340,7 +332,7 @@ def _run_bwd(kernel_body, prep, pad_t, x, g, base, alpha, wf, bf, wm1, bm1,
             dwrm_p, dbrm_p)
 
 
-def spatial_bwd(res, g, agg):
+def spatial_bwd(res, g, agg, dtype=None):
     """Pallas VJP for fused.dstd_spatial: returns grads for the 11 diff
     args (x, base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm)."""
     x, base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm = res
@@ -348,7 +340,7 @@ def spatial_bwd(res, g, agg):
     (dx, dbase_k, dalpha, dwf, dbf, dwm1, dbm1, dwm2, dbm2, dwrm_p,
      dbrm_p) = _run_bwd(_spatial_bwd_kernel, _f._prep_spatial, False, x, g,
                         base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
-                        agg)
+                        agg, dtype)
     # dbase accumulated in the kernel's (a, b) layout; undo the prep
     dbase = jnp.swapaxes(dbase_k, 1, 2) if agg == "right" else dbase_k
     dbase = dbase[:, :v, :v]
@@ -358,14 +350,14 @@ def spatial_bwd(res, g, agg):
             dwm1, dbm1, dwm2, dbm2, dwrm_p, dbrm)
 
 
-def temporal_bwd(res, g, agg):
+def temporal_bwd(res, g, agg, dtype=None):
     """Pallas VJP for fused.dstd_temporal."""
     x, base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm = res
     t, v = x.shape[1], x.shape[2]
     (dx, dbase_k, dalpha, dwf, dbf, dwm1, dbm1, dwm2, dbm2, dwrm_p,
      dbrm_p) = _run_bwd(_temporal_bwd_kernel, _f._prep_temporal, True, x, g,
                         base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
-                        agg)
+                        agg, dtype)
     dbase = dbase_k[:, :t, :t]
     dwrm = dwrm_p[:, :, :v, :v]
     dbrm = dbrm_p[:, 0, :v]

@@ -168,13 +168,13 @@ class DSTDGC(nn.Module):
         # scripts/probe_mosaic12/13)
         use_pallas = self.use_pallas and (self.use_pallas is True
                                           or self.use_pallas == self.mode)
+        dtype = (None if self.compute_dtype is None
+                 else jnp.dtype(self.compute_dtype))
         if use_pallas:
             from ..kernels import fused as fk
             fn = (fk.dstd_spatial if self.mode == "spatial"
                   else fk.dstd_temporal)
-            return fn(*args, agg=self.agg)
-        dtype = (None if self.compute_dtype is None
-                 else jnp.dtype(self.compute_dtype))
+            return fn(*args, agg=self.agg, dtype=dtype)
         fn = ops.dstd_spatial if self.mode == "spatial" else ops.dstd_temporal
         return fn(*args, agg=self.agg, dtype=dtype, pair_flat=self.pair_flat,
                   agg_group=self.agg_group)

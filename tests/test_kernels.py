@@ -229,3 +229,58 @@ def test_model_variant_knobs_match_baseline():
                                                       train=False))
         assert np.abs(y1 - y0).max() < 1e-3 * max(np.abs(y0).max(), 1.0), \
             knobs
+
+
+@pytest.mark.parametrize("mode", ["spatial", "temporal"])
+def test_fused_bf16_dots_close_to_f32(mode):
+    """In-kernel bf16 matmul inputs (f32 accumulation) stay within
+    mixed-precision tolerance of the f32 kernel, forward and backward."""
+    rng = np.random.RandomState(5)
+    n, t, v, cin, co = 4, 6, 5, 4, 4
+    k = 2 if mode == "spatial" else 1
+    ref_len = t if mode == "spatial" else v
+    p = v if mode == "spatial" else t
+    x = jnp.asarray(rng.randn(n, t, v, cin), jnp.float32)
+    base = jnp.asarray(rng.randn(k, p, p), jnp.float32) * 0.3
+    alpha = jnp.asarray(0.7)
+    w = _weights(rng, k, cin, co, 2, ref_len)
+    f = fused.dstd_spatial if mode == "spatial" else fused.dstd_temporal
+    args = (x, base, alpha, w["wf"], w["bf"], w["wm1"], w["bm1"], w["wm2"],
+            w["bm2"], w["wrm"], w["brm"])
+    y32 = np.asarray(f(*args, None, "right"))
+    y16 = np.asarray(f(*args, None, "right", jnp.bfloat16))
+    assert np.abs(y16 - y32).max() < 3e-2 * max(np.abs(y32).max(), 1.0)
+    g32 = jax.grad(lambda *a: jnp.sum(f(*a, None, "right") ** 2),
+                   argnums=tuple(range(11)))(*args)
+    g16 = jax.grad(lambda *a: jnp.sum(f(*a, None, "right", jnp.bfloat16)
+                                      ** 2), argnums=tuple(range(11)))(*args)
+    for a, b in zip(g16, g32):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all()
+        assert np.abs(a - b).max() < 5e-2 * max(np.abs(b).max(), 1.0)
+
+
+def test_fused_chain_dtype_and_nb_knobs():
+    """dstd_chain with bf16 dots and an explicit nb override matches the
+    f32 oracle chain within mixed-precision tolerance."""
+    rng = np.random.RandomState(9)
+    n, t, v, c = 8, 10, 7, 6
+    blocks = []
+    for _ in range(2):
+        ws = _weights(rng, 2, c, c, 2, t)
+        wt = _weights(rng, 1, c, c, 2, v)
+        blocks.append((
+            (jnp.asarray(rng.randn(2, v, v), jnp.float32) * 0.3,
+             jnp.asarray(0.5), ws["wf"], ws["bf"], ws["wm1"], ws["bm1"],
+             ws["wm2"], ws["bm2"], ws["wrm"], ws["brm"]),
+            (jnp.asarray(rng.randn(1, t, t), jnp.float32) * 0.3,
+             jnp.asarray(0.4), wt["wf"], wt["bf"], wt["wm1"], wt["bm1"],
+             wt["wm2"], wt["bm2"], wt["wrm"], wt["brm"]),
+        ))
+    x = jnp.asarray(rng.randn(n, t, v, c), jnp.float32)
+    want = np.asarray(fused._chain_oracle(x, blocks, "right"))
+    for dtype, nb, tol in ((None, 8, 1e-4), (jnp.bfloat16, None, 3e-2),
+                           (jnp.bfloat16, 8, 3e-2)):
+        got = np.asarray(fused.dstd_chain(x, blocks, "right", dtype, nb))
+        assert np.abs(got - want).max() < tol * max(np.abs(want).max(), 1.0), \
+            (dtype, nb)
