@@ -58,7 +58,8 @@ try:
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
-__all__ = ["dstd_spatial", "dstd_temporal", "dstd_chain", "available"]
+__all__ = ["dstd_spatial", "dstd_temporal", "dstd_chain",
+           "dstd_encoder_chain", "available"]
 
 
 def available() -> bool:
@@ -591,3 +592,155 @@ def _chain_bwd(agg, dtype, nb, res, g):
 
 
 dstd_chain.defvjp(_chain_fwd, _chain_bwd)
+
+
+# -------------------------------------------------------- encoder chain --
+#
+# Whole-ENCODER fused inference kernel: L residual encoder layers of the
+# flagship DSTDGCN (reference model/dstdgcn.py:310-311, each layer =
+# ST_GCNN_layer(refine, residual) + BatchNorm + PReLU) in ONE pallas_call.
+# In eval mode every JointBatchNorm collapses to a per-(joint, channel)
+# affine, so the full layer body
+#
+#   y = prelu1(bn1(spatial(x)) + x); z = prelu2(bn2(temporal(y) + x))
+#
+# (DSTDGCB dstdgcn.py:141-161 with cin == co, plus the ST_GCNN layer
+# residual dstdgcn.py:246-247 and the model-level BN/PReLU) runs entirely
+# in VMEM: activations touch HBM once per sample block for the whole
+# encoder instead of ~6 times per layer.  Grid/streaming structure is the
+# same as dstd_chain.  Inference-only by construction (running-stats BN,
+# no dropout inside the encoder); gradients are not defined.
+
+
+def _encoder_grid_kernel(x_ref, sb_ref, sa_ref, swf_ref, sbf_ref, swqk_ref,
+                         sbqk_ref, swrm_ref, sbrm_ref, tb_ref, ta_ref,
+                         twf_ref, tbf_ref, twqk_ref, tbqk_ref, twrm_ref,
+                         tbrm_ref, aff1_ref, aff2_ref, pa_ref, out_ref,
+                         *, ks, kt, red, agg, v_real, t_real, dtype=None):
+    """One encoder layer of the fused-inference chain.
+
+    ``aff1/aff2``: (1, 2, Vp, C) eval-BN affines (scale, shift) for the
+    block BN and the model-level BN; ``pa``: (1, 2) PReLU negative slopes
+    (block prelu, model-level prelu).  Padded-joint rows of the affines are
+    zero so padded rows stay zero; a final row mask kills the shift leak
+    into padded frames.
+    """
+    nb, tp, vp, cin = x_ref.shape
+    jmask = _row_mask(nb * tp * vp, tp, vp, t_real, v_real)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _seed():
+        out_ref[:] = x_ref[:]
+
+    def prelu(v2, a):
+        return jnp.where(v2 >= 0, v2, a * v2)
+
+    def affine(v2, aff):
+        v4 = v2.reshape(nb, tp, vp, cin)
+        v4 = v4 * aff[0, 0][None, None] + aff[0, 1][None, None]
+        return v4.reshape(nb * tp * vp, cin)
+
+    x2 = out_ref[:].reshape(nb * tp * vp, cin)
+    y2 = _spatial_body(x2, 0, nb, tp, vp, cin, jmask, ks, red, agg,
+                       sb_ref, sa_ref, swf_ref, sbf_ref, swqk_ref,
+                       sbqk_ref, swrm_ref, sbrm_ref, dtype)
+    y2 = prelu(affine(y2, aff1_ref) * jmask + x2, pa_ref[0, 0])
+    z2 = _temporal_body(y2, 0, nb, tp, vp, cin, jmask, kt, red, agg,
+                        tb_ref, ta_ref, twf_ref, tbf_ref, twqk_ref,
+                        tbqk_ref, twrm_ref, tbrm_ref, dtype)
+    z2 = prelu(affine(z2 + x2, aff2_ref) * jmask, pa_ref[0, 1])
+    out_ref[:] = z2.reshape(nb, tp, vp, cin)
+
+
+def bn_affine(scale, bias, mean, var, eps: float = 1e-5):
+    """Fold eval-mode JointBatchNorm params ((V, C) each, models/layers.py
+    JointBatchNorm with running stats) into a (2, V, C) multiply-add."""
+    inv = scale * jax.lax.rsqrt(var + eps)
+    return jnp.stack([inv, bias - mean * inv])
+
+
+def _encoder_oracle(x, layers_params, agg):
+    for sp, tm, aff1, aff2, pa in layers_params:
+        y = oracle.dstd_spatial(x, *sp, agg=agg)
+        y = y * aff1[0][None, None] + aff1[1][None, None] + x
+        y = jnp.where(y >= 0, y, pa[0] * y)
+        z = oracle.dstd_temporal(y, *tm, agg=agg) + x
+        z = z * aff2[0][None, None] + aff2[1][None, None]
+        x = jnp.where(z >= 0, z, pa[1] * z)
+    return x
+
+
+def dstd_encoder_chain(x, layers_params, agg="right", dtype=None, nb=None):
+    """L-layer fused-inference encoder chain (reference dstdgcn.py:310-311).
+
+    ``layers_params``: list of ``(spatial_args, temporal_args, aff1, aff2,
+    prelu_a)`` per encoder layer — the 10-tuples of :func:`dstd_spatial` /
+    :func:`dstd_temporal`, the two folded eval-BN affines ((2, V, C), see
+    :func:`bn_affine`; aff1 = the in-block BN, aff2 = the model-level BN),
+    and the two PReLU negative slopes ``(2,)``.  Channel width must be
+    constant (the flagship encoder: C=64).  Eval-mode semantics only —
+    matches the per-op model path in train=False (golden-tested); no VJP.
+    """
+    if not available():
+        return _encoder_oracle(x, layers_params, agg)
+    n, t, v, cin = x.shape
+    vp, tp = -(-v // 8) * 8, -(-t // 8) * 8
+    if nb is None or n % nb != 0:
+        nb = _block_samples(n)
+    sp0, tp0 = layers_params[0][0], layers_params[0][1]
+    ks, kt, red = sp0[2].shape[0], tp0[2].shape[0], sp0[4].shape[-1]
+
+    def prep_s(s):
+        base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm = s
+        base_p = _pad_to(_pad_to(base, 1, vp), 2, vp)
+        if agg == "right":
+            base_p = jnp.swapaxes(base_p, 1, 2)
+        wqk, bqk = _stack_qk(wm1, bm1, wm2, bm2)
+        wrm_p = _pad_to(_pad_to(wrm, 2, tp), 3, tp)
+        brm_p = _pad_to(brm, 1, tp)[:, None, None, :]
+        return (base_p[..., None], jnp.asarray(alpha, jnp.float32)
+                .reshape(1, 1), wf, bf[:, None, :], wqk, bqk, wrm_p, brm_p)
+
+    def prep_t(s):
+        base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm = s
+        wqk, bqk = _stack_qk(wm1, bm1, wm2, bm2)
+        wrm_p = _pad_to(_pad_to(wrm, 2, vp), 3, vp)
+        base_p = _pad_to(_pad_to(base, 1, tp), 2, tp)[..., None]
+        brm_p = _pad_to(brm, 1, vp)[:, None, None, :]
+        return (base_p, jnp.asarray(alpha, jnp.float32).reshape(1, 1),
+                wf, bf[:, None, :], wqk, bqk, wrm_p, brm_p)
+
+    s_args = [jnp.stack(a) for a in
+              zip(*[prep_s(lp[0]) for lp in layers_params])]
+    t_args = [jnp.stack(a) for a in
+              zip(*[prep_t(lp[1]) for lp in layers_params])]
+    # padded-joint affine rows are zero -> padded rows never acquire shift
+    aff1 = jnp.stack([_pad_to(lp[2], 1, vp) for lp in layers_params])
+    aff2 = jnp.stack([_pad_to(lp[3], 1, vp) for lp in layers_params])
+    pa = jnp.stack([jnp.asarray(lp[4], jnp.float32)
+                    for lp in layers_params])
+    x_p = _pad_to(_pad_to(x.astype(jnp.float32), 2, vp), 1, tp)
+
+    def per_layer(a):
+        nd = a.ndim
+        return pl.BlockSpec((1,) + a.shape[1:],
+                            lambda i, b, _n=nd: (b,) + (0,) * (_n - 1),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_encoder_grid_kernel, ks=ks, kt=kt, red=red,
+                          agg=agg, v_real=v, t_real=t, dtype=dtype),
+        out_shape=jax.ShapeDtypeStruct((n, tp, vp, cin), jnp.float32),
+        grid=(n // nb, len(layers_params)),
+        in_specs=[pl.BlockSpec((nb, tp, vp, cin),
+                               lambda i, b: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [per_layer(a) for a in s_args + t_args + [aff1, aff2, pa]],
+        out_specs=pl.BlockSpec((nb, tp, vp, cin), lambda i, b: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_vmem_limit()),
+        interpret=_interpret(),
+    )(x_p, *s_args, *t_args, aff1, aff2, pa)
+    return out[:, :t, :v, :]

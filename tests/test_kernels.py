@@ -284,3 +284,66 @@ def test_fused_chain_dtype_and_nb_knobs():
         got = np.asarray(fused.dstd_chain(x, blocks, "right", dtype, nb))
         assert np.abs(got - want).max() < tol * max(np.abs(want).max(), 1.0), \
             (dtype, nb)
+
+
+@pytest.mark.parametrize("agg", ["right", "left"])
+def test_encoder_chain_matches_oracle(agg):
+    """Whole-encoder fused inference kernel (DSTD ops + eval-BN affines +
+    residuals + PReLUs in one pallas_call) vs the oracle layer math."""
+    rng = np.random.RandomState(11)
+    n, t, v, c = 4, 10, 7, 6
+    layers = []
+    for _ in range(2):
+        ws = _weights(rng, 2, c, c, 2, t)
+        wt = _weights(rng, 1, c, c, 2, v)
+        mk = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.3)
+        layers.append((
+            (mk(2, v, v), jnp.asarray(0.5), ws["wf"], ws["bf"], ws["wm1"],
+             ws["bm1"], ws["wm2"], ws["bm2"], ws["wrm"], ws["brm"]),
+            (mk(1, t, t), jnp.asarray(0.4), wt["wf"], wt["bf"], wt["wm1"],
+             wt["bm1"], wt["wm2"], wt["bm2"], wt["wrm"], wt["brm"]),
+            jnp.stack([1.0 + 0.1 * mk(v, c), 0.2 * mk(v, c)]),
+            jnp.stack([1.0 + 0.1 * mk(v, c), 0.2 * mk(v, c)]),
+            jnp.asarray([0.25, 0.1], jnp.float32),
+        ))
+    x = jnp.asarray(rng.randn(n, t, v, c), jnp.float32)
+    want = np.asarray(fused._encoder_oracle(x, layers, agg))
+    got = np.asarray(fused.dstd_encoder_chain(x, layers, agg))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("fast", [False, True])
+def test_fused_eval_forward_matches_model(fast):
+    """models.infer.fused_eval_forward == model.apply(train=False) on a
+    trained-ish variables tree (perturbed params + real batch stats)."""
+    from dstdgcn_tpu.models import DSTDGCN
+    from dstdgcn_tpu.models import infer
+
+    cfg = dict(input_channels=6, input_time_frame=4, output_time_frame=4,
+               st_gcnn_dropout=0.0, joints_to_consider=22, num_feature=8,
+               num_layers=2, layout="h36m", fast=fast)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(4, 8, 22, 3), jnp.float32)
+    model = DSTDGCN(**cfg)
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    # make the tree non-trivial: noise on every param (alphas/gates become
+    # nonzero so the dynamic term and BN affines are actually exercised),
+    # then a train-mode pass to move batch_stats off init
+    leaves, tdef = jax.tree_util.tree_flatten(variables["params"])
+    keys = jax.random.split(jax.random.key(1), len(leaves))
+    leaves = [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+              for l, k in zip(leaves, keys)]
+    params = jax.tree_util.tree_unflatten(tdef, leaves)
+    _, upd = model.apply({"params": params,
+                          "batch_stats": variables["batch_stats"]},
+                         x, train=True, mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.key(2)})
+    variables = {"params": params, "batch_stats": upd["batch_stats"]}
+
+    want = np.asarray(model.apply(variables, x, train=False))
+    got = np.asarray(infer.fused_eval_forward(variables, x,
+                                              num_layers=2, fast=fast))
+    # f32 association-order noise amplifies through the residual cascade;
+    # scale the tolerance to the activation magnitude
+    tol = 2e-5 * max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=tol)
