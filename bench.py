@@ -310,6 +310,40 @@ def bench_train_step(n_batch, use_pallas, compute_dtype=None,
     return sec
 
 
+def bench_inference(n_batch=128):
+    """Serving path: eval-mode forward on the flagship model, standard
+    model.apply vs the fused whole-encoder kernel (models/infer.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dstdgcn_tpu.models import DSTDGCN, infer
+
+    model = DSTDGCN(input_channels=6, input_time_frame=10,
+                    output_time_frame=25, st_gcnn_dropout=0.1,
+                    joints_to_consider=22, num_feature=64, num_layers=5,
+                    layout="h36m")
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.randn(n_batch, 35, 22, 3), jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x0[:1],
+                           train=False)
+    variables = jax.device_put(variables)
+
+    def std(xx):
+        return model.apply(variables, xx, train=False)
+
+    def fused_fwd(xx):
+        return infer.fused_eval_forward(variables, xx, num_layers=5)
+
+    out = {}
+    t_std = _time_slope(std, x0)
+    out["infer_ms_standard"] = round(t_std * 1e3, 3)
+    t_fused = _time_slope(fused_fwd, x0)
+    out["infer_ms_fused_encoder"] = round(t_fused * 1e3, 3)
+    out["infer_fused_speedup"] = round(t_std / t_fused, 3)
+    out["infer_seq_per_s"] = round(n_batch / min(t_std, t_fused), 1)
+    return out
+
+
 def bench_sparse_kernels():
     """Pallas blocked SDDMM+SpMM vs dense XLA on a large sparse graph."""
     import jax.numpy as jnp
@@ -468,6 +502,13 @@ def main():
         # edges trained/s: both train-mode forwards count
         detail["train_edges_per_s"] = round(
             2 * _edges_per_forward(128, t, v, blocks) / best_train, 1)
+
+    # serving: eval forward, standard vs fused whole-encoder kernel
+    try:
+        detail.update(_with_retry(bench_inference))
+    except Exception as e:
+        detail["infer_ms_fused_encoder"] = f"{type(e).__name__}: {str(e)[:120]}"
+    _save_last_good()
 
     try:
         detail["sparse_kernel_large_graph"] = bench_sparse_kernels()

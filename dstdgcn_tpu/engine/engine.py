@@ -259,12 +259,25 @@ class PredictionEngine:
                          idx_ignore, idx_equal, time_tsfm, scale_tsfm):
         model = self.model
         eval_frame = tuple(int(j) for j in eval_frame)
+        # engine.fused_inference: serve eval through the whole-encoder
+        # Pallas kernel (models/infer.py) — activations stay in VMEM across
+        # every encoder layer; eval-mode parity with model.apply is
+        # golden-tested (tests/test_engine.py)
+        fused_inf = bool(self.config.get("fused_inference", False))
 
         def eval_step(params, batch_stats, inputs, all_seqs):
             x = inputs
             x = self.transform(x)
-            out = model.apply({"params": params, "batch_stats": batch_stats},
-                              x, train=False)
+            variables = {"params": params, "batch_stats": batch_stats}
+            if fused_inf:
+                from ..models import infer
+                dt = (None if model.compute_dtype is None
+                      else jnp.dtype(model.compute_dtype))
+                out = infer.fused_eval_forward(
+                    variables, x, num_layers=model.num_layers,
+                    fast=model.fast, dtype=dt)
+            else:
+                out = model.apply(variables, x, train=False)
             if isinstance(out, (list, tuple)):   # multi-output: use the last
                 out = out[-1]                    # (ModelWrapper.forward :54)
             out = self.inverse(out)

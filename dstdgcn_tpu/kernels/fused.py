@@ -326,9 +326,12 @@ def _make_op(kernel_body, prep, pad_t, oracle_fn, pallas_bwd_name):
         if mask is not None or not available():
             return oracle_fn(x, base, alpha, wf, bf, wm1, bm1, wm2, bm2,
                              wrm, brm, mask, agg, dtype)
-        return _pallas_forward(kernel_body, prep, pad_t, x, base, alpha,
-                               wf, bf, wm1, bm1, wm2, bm2, wrm, brm, agg,
-                               dtype)
+        out = _pallas_forward(kernel_body, prep, pad_t, x, base, alpha,
+                              wf, bf, wm1, bm1, wm2, bm2, wrm, brm, agg,
+                              dtype)
+        # mixed-precision activation flow parity with the oracle
+        # (ops/dstd.py dstd_spatial tail): emit the compute dtype
+        return out if dtype is None else out.astype(dtype)
 
     def fwd(x, base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm, mask, agg,
             dtype):
@@ -341,9 +344,13 @@ def _make_op(kernel_body, prep, pad_t, oracle_fn, pallas_bwd_name):
                           os.environ.get("DSTDGCN_PALLAS_BWD", "1") == "1")
         if use_pallas_bwd:
             # hand-derived whole-op backward kernel: dx + every weight
-            # grad in one VMEM pass (kernels/fused_bwd.py)
+            # grad in one VMEM pass (kernels/fused_bwd.py); cotangent
+            # dtypes must match the primals (a bf16 activation flow would
+            # otherwise inject f32 cotangents into upstream transposes)
             from . import fused_bwd
-            return getattr(fused_bwd, pallas_bwd_name)(res, g, agg, dtype)
+            grads = getattr(fused_bwd, pallas_bwd_name)(res, g, agg, dtype)
+            return tuple(gr.astype(jnp.asarray(r).dtype)
+                         for gr, r in zip(grads, res))
         # exact gradients via the oracle formulation (XLA backward)
         def f(*args):
             return oracle_fn(*args, mask, agg, dtype)

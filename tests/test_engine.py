@@ -321,3 +321,36 @@ def test_engine_callbacks_config_wiring(tmp_path, rng):
     lines = csv_path.read_text().strip().splitlines()
     assert lines[0].startswith("epoch") and "joint" in lines[0]
     assert len(lines) == 3  # header + 2 epochs
+
+
+def test_fused_inference_eval_matches_standard(rng):
+    """engine.fused_inference routes eval through the whole-encoder Pallas
+    kernel (models/infer.py); per-frame metrics must match the standard
+    model.apply path."""
+    data = _toy_data(rng, n=8)
+    model = DSTDGCN(input_channels=6, input_time_frame=4, output_time_frame=4,
+                    st_gcnn_dropout=0.1, joints_to_consider=22, num_feature=8,
+                    num_layers=2, layout="h36m")
+    eval_args = dict(input_n=4, eval_frame=np.array([0, 1, 3]),
+                     dim_used=np.array(sorted(
+                         j * 3 + k
+                         for j in [2, 3, 4, 5, 7, 8, 9, 10, 12, 13, 14, 15,
+                                   17, 18, 19, 21, 22, 25, 26, 27, 29, 30]
+                         for k in range(3))),
+                     joint_to_ignore=np.array([16, 20, 23, 24, 28, 31]),
+                     joint_to_equal=np.array([13, 19, 22, 13, 27, 30]))
+    metrics = {}
+    for flag in (False, True):
+        eng = PredictionEngine({**CFG, "fused_inference": flag}, model)
+        eng.init(data[0][:1])
+        # one train step so batch_stats move off init
+        loader = Loader(data, batch_size=8)
+        eng.train(loader, epoch=1)
+        avg, metric = eng.test(loader, eval_args["input_n"],
+                               eval_args["eval_frame"],
+                               eval_args["dim_used"],
+                               eval_args["joint_to_ignore"],
+                               eval_args["joint_to_equal"], None, None, "toy")
+        metrics[flag] = np.asarray(metric)
+    np.testing.assert_allclose(metrics[True], metrics[False],
+                               rtol=1e-4, atol=1e-4)

@@ -347,3 +347,40 @@ def test_fused_eval_forward_matches_model(fast):
     # scale the tolerance to the activation magnitude
     tol = 2e-5 * max(np.abs(want).max(), 1.0)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=tol)
+
+
+def test_pallas_bf16_train_gradients_work():
+    """use_pallas=True + compute_dtype=bfloat16: the custom_vjp must return
+    cotangents in the primals' dtypes (regression: f32 cotangents broke the
+    upstream PReLU transpose) and stay near the oracle-bf16 gradients."""
+    import jax.tree_util as tu
+    from dstdgcn_tpu.models import DSTDGCN
+
+    cfg = dict(input_channels=6, input_time_frame=4, output_time_frame=4,
+               st_gcnn_dropout=0.0, joints_to_consider=22, num_feature=8,
+               num_layers=1, layout="h36m", compute_dtype="bfloat16")
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 8, 22, 3), jnp.float32)
+    v = DSTDGCN(**cfg).init({"params": jax.random.key(0)}, x, train=False)
+
+    def grads(use_pallas):
+        m = DSTDGCN(**cfg, use_pallas=use_pallas)
+
+        def loss(p):
+            out, _ = m.apply({"params": p,
+                              "batch_stats": v["batch_stats"]}, x,
+                             train=True, mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.key(1)})
+            return jnp.mean(out ** 2)
+
+        return jax.grad(loss)(v["params"])
+
+    gp, go = grads(True), grads(False)
+    scale = tu.tree_reduce(max, tu.tree_map(
+        lambda b: float(jnp.max(jnp.abs(b.astype(jnp.float32)))), go))
+    diff = tu.tree_reduce(max, tu.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                           - b.astype(jnp.float32)))),
+        gp, go))
+    assert np.isfinite(diff)
+    assert diff < 0.15 * max(scale, 1.0)   # bf16-precision agreement
