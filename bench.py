@@ -440,6 +440,11 @@ def main():
         "step_ms_xla_bd_bf16",
         lambda xx: stacked_forward(params, xx, dtype=jnp.bfloat16,
                                    agg_group_s=5, agg_group_t=3), x_ntvc)
+    candidates["xla_flat_bd_bf16"] = measure(
+        "step_ms_xla_flat_bd_bf16",
+        lambda xx: stacked_forward(params, xx, dtype=jnp.bfloat16,
+                                   pair_flat=True, agg_group_s=5,
+                                   agg_group_t=3), x_ntvc)
     if kernels_available:
         candidates["fused_per_op"] = measure(
             "step_ms_fused_pallas",
