@@ -622,15 +622,17 @@ dstd_chain.defvjp(_chain_fwd, _chain_bwd)
 def _encoder_grid_kernel(x_ref, sb_ref, sa_ref, swf_ref, sbf_ref, swqk_ref,
                          sbqk_ref, swrm_ref, sbrm_ref, tb_ref, ta_ref,
                          twf_ref, tbf_ref, twqk_ref, tbqk_ref, twrm_ref,
-                         tbrm_ref, aff1_ref, aff2_ref, pa_ref, out_ref,
+                         tbrm_ref, sc1_ref, sh1_ref, sc2_ref, sh2_ref,
+                         pa1_ref, pa2_ref, out_ref,
                          *, ks, kt, red, agg, v_real, t_real, dtype=None):
     """One encoder layer of the fused-inference chain.
 
-    ``aff1/aff2``: (1, 2, Vp, C) eval-BN affines (scale, shift) for the
-    block BN and the model-level BN; ``pa``: (1, 2) PReLU negative slopes
-    (block prelu, model-level prelu).  Padded-joint rows of the affines are
-    zero so padded rows stay zero; a final row mask kills the shift leak
-    into padded frames.
+    ``sc1/sh1`` and ``sc2/sh2``: (1, Vp, C) eval-BN affine scale/shift for
+    the block BN and the model-level BN; ``pa1/pa2``: (1, 1, 1) PReLU
+    negative slopes (split into per-tensor refs — Mosaic rejects a packed
+    (1, 2) block).  Padded-joint rows of the affines are zero so padded
+    rows stay zero; a final row mask kills the shift leak into padded
+    frames.
     """
     nb, tp, vp, cin = x_ref.shape
     jmask = _row_mask(nb * tp * vp, tp, vp, t_real, v_real)
@@ -642,20 +644,20 @@ def _encoder_grid_kernel(x_ref, sb_ref, sa_ref, swf_ref, sbf_ref, swqk_ref,
     def prelu(v2, a):
         return jnp.where(v2 >= 0, v2, a * v2)
 
-    def affine(v2, aff):
+    def affine(v2, sc, sh):
         v4 = v2.reshape(nb, tp, vp, cin)
-        v4 = v4 * aff[0, 0][None, None] + aff[0, 1][None, None]
+        v4 = v4 * sc[0][None, None] + sh[0][None, None]
         return v4.reshape(nb * tp * vp, cin)
 
     x2 = out_ref[:].reshape(nb * tp * vp, cin)
     y2 = _spatial_body(x2, 0, nb, tp, vp, cin, jmask, ks, red, agg,
                        sb_ref, sa_ref, swf_ref, sbf_ref, swqk_ref,
                        sbqk_ref, swrm_ref, sbrm_ref, dtype)
-    y2 = prelu(affine(y2, aff1_ref) * jmask + x2, pa_ref[0, 0])
+    y2 = prelu(affine(y2, sc1_ref, sh1_ref) * jmask + x2, pa1_ref[0, 0, 0])
     z2 = _temporal_body(y2, 0, nb, tp, vp, cin, jmask, kt, red, agg,
                         tb_ref, ta_ref, twf_ref, tbf_ref, twqk_ref,
                         tbqk_ref, twrm_ref, tbrm_ref, dtype)
-    z2 = prelu(affine(z2 + x2, aff2_ref) * jmask, pa_ref[0, 1])
+    z2 = prelu(affine(z2 + x2, sc2_ref, sh2_ref) * jmask, pa2_ref[0, 0, 0])
     out_ref[:] = z2.reshape(nb, tp, vp, cin)
 
 
@@ -722,10 +724,14 @@ def dstd_encoder_chain(x, layers_params, agg="right", dtype=None, nb=None):
     t_args = [jnp.stack(a) for a in
               zip(*[prep_t(lp[1]) for lp in layers_params])]
     # padded-joint affine rows are zero -> padded rows never acquire shift
-    aff1 = jnp.stack([_pad_to(lp[2], 1, vp) for lp in layers_params])
-    aff2 = jnp.stack([_pad_to(lp[3], 1, vp) for lp in layers_params])
-    pa = jnp.stack([jnp.asarray(lp[4], jnp.float32)
-                    for lp in layers_params])
+    sc1 = jnp.stack([_pad_to(lp[2][0], 0, vp) for lp in layers_params])
+    sh1 = jnp.stack([_pad_to(lp[2][1], 0, vp) for lp in layers_params])
+    sc2 = jnp.stack([_pad_to(lp[3][0], 0, vp) for lp in layers_params])
+    sh2 = jnp.stack([_pad_to(lp[3][1], 0, vp) for lp in layers_params])
+    pa1 = jnp.stack([jnp.asarray(lp[4][0], jnp.float32).reshape(1, 1)
+                     for lp in layers_params])
+    pa2 = jnp.stack([jnp.asarray(lp[4][1], jnp.float32).reshape(1, 1)
+                     for lp in layers_params])
     x_p = _pad_to(_pad_to(x.astype(jnp.float32), 2, vp), 1, tp)
 
     def per_layer(a):
@@ -742,12 +748,13 @@ def dstd_encoder_chain(x, layers_params, agg="right", dtype=None, nb=None):
         in_specs=[pl.BlockSpec((nb, tp, vp, cin),
                                lambda i, b: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)]
-        + [per_layer(a) for a in s_args + t_args + [aff1, aff2, pa]],
+        + [per_layer(a) for a in s_args + t_args
+           + [sc1, sh1, sc2, sh2, pa1, pa2]],
         out_specs=pl.BlockSpec((nb, tp, vp, cin), lambda i, b: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=_vmem_limit()),
         interpret=_interpret(),
-    )(x_p, *s_args, *t_args, aff1, aff2, pa)
+    )(x_p, *s_args, *t_args, sc1, sh1, sc2, sh2, pa1, pa2)
     return out[:, :t, :v, :]
