@@ -318,10 +318,12 @@ def bench_inference(n_batch=128):
 
     from dstdgcn_tpu.models import DSTDGCN, infer
 
-    model = DSTDGCN(input_channels=6, input_time_frame=10,
-                    output_time_frame=25, st_gcnn_dropout=0.1,
-                    joints_to_consider=22, num_feature=64, num_layers=5,
-                    layout="h36m")
+    mk = dict(input_channels=6, input_time_frame=10, output_time_frame=25,
+              st_gcnn_dropout=0.1, joints_to_consider=22, num_feature=64,
+              num_layers=5, layout="h36m")
+    model = DSTDGCN(**mk)
+    model_bd16 = DSTDGCN(**mk, compute_dtype="bfloat16",
+                         agg_group_spatial=5, agg_group_temporal=3)
     rng = np.random.RandomState(0)
     x0 = jnp.asarray(rng.randn(n_batch, 35, 22, 3), jnp.float32)
     variables = model.init({"params": jax.random.key(0)}, x0[:1],
@@ -331,16 +333,22 @@ def bench_inference(n_batch=128):
     def std(xx):
         return model.apply(variables, xx, train=False)
 
+    def std_bd16(xx):
+        return model_bd16.apply(variables, xx, train=False)
+
     def fused_fwd(xx):
         return infer.fused_eval_forward(variables, xx, num_layers=5)
 
     out = {}
     t_std = _time_slope(std, x0)
     out["infer_ms_standard"] = round(t_std * 1e3, 3)
+    t_bd16 = _time_slope(std_bd16, x0)
+    out["infer_ms_standard_bd_bf16"] = round(t_bd16 * 1e3, 3)
     t_fused = _time_slope(fused_fwd, x0)
     out["infer_ms_fused_encoder"] = round(t_fused * 1e3, 3)
     out["infer_fused_speedup"] = round(t_std / t_fused, 3)
-    out["infer_seq_per_s"] = round(n_batch / min(t_std, t_fused), 1)
+    out["infer_seq_per_s"] = round(
+        n_batch / min(t_std, t_bd16, t_fused), 1)
     return out
 
 

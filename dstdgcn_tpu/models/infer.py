@@ -77,7 +77,8 @@ def _apply_affine(x: Array, aff: Array) -> Array:
 
 
 def _in_out_layer(x: Array, blk: Mapping, stats: Mapping, time_dim: int,
-                  fast: bool, agg: str, dtype) -> Array:
+                  fast: bool, agg: str, dtype,
+                  agg_group=(None, None)) -> Array:
     """One channel-changing ST_GCNN layer (refine, residual=False):
     the DSTDGCB body with a projected residual (models/layers.py:243-271)."""
     res = x @ blk["residual_proj"]["kernel"] + blk["residual_proj"]["bias"]
@@ -86,18 +87,19 @@ def _in_out_layer(x: Array, blk: Mapping, stats: Mapping, time_dim: int,
     base_s, base_t = _block_bases(blk, time_dim, fast)
     y = oracle.dstd_spatial(x, base_s, blk["alpha_sm"],
                             *_dstd_args(blk["spatial"]), agg=agg,
-                            dtype=dtype)
+                            dtype=dtype, agg_group=agg_group[0])
     y = _apply_affine(y, _affine(blk["bn"], stats["bn"]))
     y = _prelu(y + res, blk["prelu"]["negative_slope"])
     z = oracle.dstd_temporal(y, base_t, blk["alpha_tm"],
                              *_dstd_args(blk["temporal"]), agg=agg,
-                             dtype=dtype)
+                             dtype=dtype, agg_group=agg_group[1])
     return z.astype(jnp.float32)
 
 
 def fused_eval_forward(variables: Mapping[str, Any], x: Array,
                        num_layers: int, fast: bool = False,
-                       dtype=None, nb=None) -> Array:
+                       dtype=None, nb=None,
+                       agg_group=(None, None)) -> Array:
     """Eval-mode DSTDGCN forward with the fused whole-encoder kernel.
 
     Semantics match ``model.apply(variables, x, train=False)`` for a
@@ -113,7 +115,8 @@ def fused_eval_forward(variables: Mapping[str, Any], x: Array,
     residual = x[:, -1:]
     h = jnp.concatenate([x, x - residual], axis=-1)
     h = _in_out_layer(h, p["conv_st_in"]["block"],
-                      s["conv_st_in"]["block"], t, fast, agg, dtype)
+                      s["conv_st_in"]["block"], t, fast, agg, dtype,
+                      agg_group)
     h = _apply_affine(h, _affine(p["bn_in"], s["bn_in"]))
     h = _prelu(h, p["prelu"]["negative_slope"])      # dropout: eval = id
 
@@ -121,5 +124,6 @@ def fused_eval_forward(variables: Mapping[str, Any], x: Array,
     h = fused.dstd_encoder_chain(h, layers, agg=agg, dtype=dtype, nb=nb)
 
     h = _in_out_layer(h, p["conv_st_out"]["block"],
-                      s["conv_st_out"]["block"], t, fast, agg, dtype)
+                      s["conv_st_out"]["block"], t, fast, agg, dtype,
+                      agg_group)
     return h + residual

@@ -347,6 +347,10 @@ def test_fused_eval_forward_matches_model(fast):
     # scale the tolerance to the activation magnitude
     tol = 2e-5 * max(np.abs(want).max(), 1.0)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=tol)
+    # grouped block-diagonal aggregation in the in/out layers is exact
+    got_g = np.asarray(infer.fused_eval_forward(variables, x, num_layers=2,
+                                                fast=fast, agg_group=(4, 3)))
+    np.testing.assert_allclose(got_g, want, rtol=1e-3, atol=tol)
 
 
 def test_pallas_bf16_train_gradients_work():
