@@ -173,11 +173,15 @@ def _chain_blocks(params_list):
 
 def stacked_forward(params_list, x_ntvc, use_fused=False, dtype=None,
                     pair_flat=False, agg_group_s=None, agg_group_t=None,
-                    agg="right"):
+                    agg="right", only=None):
     """Our TPU-first path: stacked-kernel contractions — XLA einsum
     formulation (ops.dstd, optionally with bf16 activation flow, flat
     pair-lane layout and/or block-diagonal grouped aggregation) or the
-    fused whole-op Pallas kernels."""
+    fused whole-op Pallas kernels.
+
+    ``pair_flat``: True/False for both ops, or "spatial"/"temporal" for
+    one side only.  ``only``: "spatial"/"temporal" runs a chain of just
+    that op (per-op cost attribution)."""
     import jax.numpy as jnp
 
     if use_fused:
@@ -185,19 +189,23 @@ def stacked_forward(params_list, x_ntvc, use_fused=False, dtype=None,
         kw_s = kw_t = {"agg": agg, "dtype": dtype}
     else:
         from dstdgcn_tpu.ops import dstd as ops
-        kw_s = {"dtype": dtype, "pair_flat": pair_flat, "agg": agg,
-                "agg_group": agg_group_s}
-        kw_t = {"dtype": dtype, "pair_flat": pair_flat, "agg": agg,
-                "agg_group": agg_group_t}
+        kw_s = {"dtype": dtype, "agg": agg, "agg_group": agg_group_s,
+                "pair_flat": pair_flat in (True, "spatial")}
+        kw_t = {"dtype": dtype, "agg": agg, "agg_group": agg_group_t,
+                "pair_flat": pair_flat in (True, "temporal")}
 
     x = x_ntvc
     for p in params_list:
-        x = ops.dstd_spatial(x, p["base_s"], p["alpha_s"], p["wf_s"],
-                             p["bf_s"], p["wm1_s"], p["bm1_s"], p["wm2_s"],
-                             p["bm2_s"], p["wrm_s"], p["brm_s"], **kw_s)
-        x = ops.dstd_temporal(x, p["base_t"], p["alpha_t"], p["wf_t"],
-                              p["bf_t"], p["wm1_t"], p["bm1_t"], p["wm2_t"],
-                              p["bm2_t"], p["wrm_t"], p["brm_t"], **kw_t)
+        if only != "temporal":
+            x = ops.dstd_spatial(x, p["base_s"], p["alpha_s"], p["wf_s"],
+                                 p["bf_s"], p["wm1_s"], p["bm1_s"],
+                                 p["wm2_s"], p["bm2_s"], p["wrm_s"],
+                                 p["brm_s"], **kw_s)
+        if only != "spatial":
+            x = ops.dstd_temporal(x, p["base_t"], p["alpha_t"], p["wf_t"],
+                                  p["bf_t"], p["wm1_t"], p["bm1_t"],
+                                  p["wm2_t"], p["bm2_t"], p["wrm_t"],
+                                  p["brm_t"], **kw_t)
     return x.astype(jnp.float32) if x.dtype != jnp.float32 else x
 
 
@@ -453,6 +461,20 @@ def main():
         lambda xx: stacked_forward(params, xx, dtype=jnp.bfloat16,
                                    pair_flat=True, agg_group_s=5,
                                    agg_group_t=3), x_ntvc)
+    candidates["xla_bd_bf16_flatS"] = measure(
+        "step_ms_xla_bd_bf16_flatS",
+        lambda xx: stacked_forward(params, xx, dtype=jnp.bfloat16,
+                                   pair_flat="spatial", agg_group_s=5,
+                                   agg_group_t=3), x_ntvc)
+    # per-op cost attribution for the winning XLA formulation
+    measure("attrib_ms_spatial_only",
+            lambda xx: stacked_forward(params, xx, dtype=jnp.bfloat16,
+                                       agg_group_s=5, only="spatial"),
+            x_ntvc)
+    measure("attrib_ms_temporal_only",
+            lambda xx: stacked_forward(params, xx, dtype=jnp.bfloat16,
+                                       agg_group_t=3, only="temporal"),
+            x_ntvc)
     if kernels_available:
         candidates["fused_per_op"] = measure(
             "step_ms_fused_pallas",

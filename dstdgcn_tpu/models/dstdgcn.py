@@ -43,7 +43,7 @@ class DSTDGCN(nn.Module):
     fast: bool = False
     bn_axis_name: Optional[str] = None
     use_pallas: Union[bool, str] = False  # True | 'spatial' | 'temporal'
-    pair_flat: bool = False
+    pair_flat: Union[bool, str] = False
     #: block-diagonal grouped aggregation sizes (must divide T / pad V)
     agg_group_spatial: Optional[int] = None
     agg_group_temporal: Optional[int] = None

@@ -134,7 +134,9 @@ class DSTDGC(nn.Module):
     agg: str = "right"      # "right"=qualitative, "left"=fast variant
     use_pallas: Union[bool, str] = False  # True | 'spatial' | 'temporal'
     compute_dtype: Optional[str] = None   # e.g. "bfloat16" (f32 accum)
-    pair_flat: bool = False  # flat (P*P)-lane score layout (ops.dstd)
+    #: flat (P*P)-lane score layout (ops.dstd): True/False for both ops or
+    #: 'spatial'/'temporal' for one side ('spatial' is the measured v5e win)
+    pair_flat: Union[bool, str] = False
     #: block-diagonal grouped aggregation (ops.dstd agg_group): packs g
     #: frames (spatial) / joints (temporal) per MXU matmul
     agg_group: Optional[int] = None
@@ -157,11 +159,13 @@ class DSTDGC(nn.Module):
 
         args = (x, base_adj, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
                 mask)
-        if self.use_pallas not in (True, False, "spatial", "temporal"):
-            raise ValueError(
-                f"use_pallas={self.use_pallas!r}: expected True, False, "
-                "'spatial' or 'temporal' (a typo would otherwise silently "
-                "disable the fused kernels)")
+        for knob, val in (("use_pallas", self.use_pallas),
+                          ("pair_flat", self.pair_flat)):
+            if val not in (True, False, "spatial", "temporal"):
+                raise ValueError(
+                    f"{knob}={val!r}: expected True, False, 'spatial' or "
+                    "'temporal' (a typo would otherwise silently select "
+                    "the default path)")
         # use_pallas: True routes both ops through the fused kernels;
         # "spatial" routes only the spatial op (the measured win on v5e —
         # the fused temporal op is pipeline-bound and loses to XLA, see
@@ -176,7 +180,8 @@ class DSTDGC(nn.Module):
                   else fk.dstd_temporal)
             return fn(*args, agg=self.agg, dtype=dtype)
         fn = ops.dstd_spatial if self.mode == "spatial" else ops.dstd_temporal
-        return fn(*args, agg=self.agg, dtype=dtype, pair_flat=self.pair_flat,
+        return fn(*args, agg=self.agg, dtype=dtype,
+                  pair_flat=self.pair_flat in (True, self.mode),
                   agg_group=self.agg_group)
 
 
@@ -211,7 +216,7 @@ class DSTDGCB(nn.Module):
     bn_axis_name: Optional[str] = None
     use_pallas: Union[bool, str] = False  # True | 'spatial' | 'temporal'
     compute_dtype: Optional[str] = None
-    pair_flat: bool = False
+    pair_flat: Union[bool, str] = False
     agg_group_spatial: Optional[int] = None
     agg_group_temporal: Optional[int] = None
 
@@ -313,7 +318,7 @@ class STGCNNLayer(nn.Module):
     bn_axis_name: Optional[str] = None
     use_pallas: Union[bool, str] = False  # True | 'spatial' | 'temporal'
     compute_dtype: Optional[str] = None
-    pair_flat: bool = False
+    pair_flat: Union[bool, str] = False
     agg_group_spatial: Optional[int] = None
     agg_group_temporal: Optional[int] = None
 
