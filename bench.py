@@ -347,6 +347,10 @@ def bench_inference(n_batch=128):
     def fused_fwd(xx):
         return infer.fused_eval_forward(variables, xx, num_layers=5)
 
+    def fused_fwd_bf16(xx):
+        return infer.fused_eval_forward(variables, xx, num_layers=5,
+                                        dtype=jnp.bfloat16)
+
     out = {}
     t_std = _time_slope(std, x0)
     out["infer_ms_standard"] = round(t_std * 1e3, 3)
@@ -354,9 +358,12 @@ def bench_inference(n_batch=128):
     out["infer_ms_standard_bd_bf16"] = round(t_bd16 * 1e3, 3)
     t_fused = _time_slope(fused_fwd, x0)
     out["infer_ms_fused_encoder"] = round(t_fused * 1e3, 3)
-    out["infer_fused_speedup"] = round(t_std / t_fused, 3)
+    t_fused16 = _time_slope(fused_fwd_bf16, x0)
+    out["infer_ms_fused_encoder_bf16"] = round(t_fused16 * 1e3, 3)
+    t_best_fused = min(t_fused, t_fused16)
+    out["infer_fused_speedup"] = round(t_std / t_best_fused, 3)
     out["infer_seq_per_s"] = round(
-        n_batch / min(t_std, t_bd16, t_fused), 1)
+        n_batch / min(t_std, t_bd16, t_best_fused), 1)
     return out
 
 
@@ -484,6 +491,15 @@ def main():
         candidates["fused_chain"] = measure(
             "step_ms_fused_chain_kernel",
             lambda xx: fk.dstd_chain(xx, cb), x_ntvc)
+        # in-kernel bf16 MXU dots (f32 accumulation + f32 elementwise) —
+        # the same mixed precision the winning XLA variant uses
+        candidates["fused_chain_bf16"] = measure(
+            "step_ms_fused_chain_bf16",
+            lambda xx: fk.dstd_chain(xx, cb, dtype=jnp.bfloat16), x_ntvc)
+        candidates["fused_chain_bf16_nb8"] = measure(
+            "step_ms_fused_chain_bf16_nb8",
+            lambda xx: fk.dstd_chain(xx, cb, dtype=jnp.bfloat16, nb=8),
+            x_ntvc)
 
     ok = {k_: v_ for k_, v_ in candidates.items() if v_ is not None}
     if ok and t_naive:

@@ -110,12 +110,14 @@ def dyn_adjacency_spatial(x: jnp.ndarray, wm1, bm1, wm2, bm2, wrm, brm,
     reduces the padding to ceil(V/128).
     """
     kk, rr = wm1.shape[0], wm1.shape[-1]
-    q = jnp.einsum("ntvc,kcr->knrtv", _cast(x, dtype), _cast(wm1, dtype),
-                   preferred_element_type=jnp.float32) \
-        + bm1[:, None, :, None, None]
-    k = jnp.einsum("ntvc,kcr->knrtv", _cast(x, dtype), _cast(wm2, dtype),
-                   preferred_element_type=jnp.float32) \
-        + bm2[:, None, :, None, None]
+    # one matmul for q AND k (wm1|wm2 concatenated on the R axis): halves
+    # the passes over x; output columns are independent so the results are
+    # bitwise those of separate projections
+    qk = jnp.einsum("ntvc,kcr->knrtv", _cast(x, dtype),
+                    _cast(jnp.concatenate([wm1, wm2], axis=-1), dtype),
+                    preferred_element_type=jnp.float32) \
+        + jnp.concatenate([bm1, bm2], axis=-1)[:, None, :, None, None]
+    q, k = qk[:, :, :rr], qk[:, :, rr:]
     nn, tt, vv = x.shape[0], x.shape[1], x.shape[2]
     q = _cast(q, dtype).reshape(kk, nn, rr * tt, vv)
     k = _cast(k, dtype).reshape(kk, nn, rr * tt, vv)
@@ -140,12 +142,12 @@ def dyn_adjacency_temporal(x: jnp.ndarray, wm1, bm1, wm2, bm2, wrm, brm,
     spatial variant for why.
     """
     kk, rr = wm1.shape[0], wm1.shape[-1]
-    q = jnp.einsum("ntvc,kcr->knrvt", _cast(x, dtype), _cast(wm1, dtype),
-                   preferred_element_type=jnp.float32) \
-        + bm1[:, None, :, None, None]
-    k = jnp.einsum("ntvc,kcr->knrvt", _cast(x, dtype), _cast(wm2, dtype),
-                   preferred_element_type=jnp.float32) \
-        + bm2[:, None, :, None, None]
+    # q AND k in one matmul (see dyn_adjacency_spatial)
+    qk = jnp.einsum("ntvc,kcr->knrvt", _cast(x, dtype),
+                    _cast(jnp.concatenate([wm1, wm2], axis=-1), dtype),
+                    preferred_element_type=jnp.float32) \
+        + jnp.concatenate([bm1, bm2], axis=-1)[:, None, :, None, None]
+    q, k = qk[:, :, :rr], qk[:, :, rr:]
     nn, tt, vv = x.shape[0], x.shape[1], x.shape[2]
     q = _cast(q, dtype).reshape(kk, nn, rr * vv, tt)
     k = _cast(k, dtype).reshape(kk, nn, rr * vv, tt)
@@ -298,12 +300,11 @@ def _dyn_adjacency_flat(x, wm1, bm1, wm2, bm2, wrm, brm, mask, dtype,
     nn, tt, vv = x.shape[0], x.shape[1], x.shape[2]
     out_eq = "knsp,kst->kntp" if pair == "vv" else "knsp,ksw->knwp"
     lay = "knrtv" if pair == "vv" else "knrvt"
-    q = jnp.einsum(f"ntvc,kcr->{lay}", _cast(x, dtype), _cast(wm1, dtype),
-                   preferred_element_type=jnp.float32) \
-        + bm1[:, None, :, None, None]
-    k = jnp.einsum(f"ntvc,kcr->{lay}", _cast(x, dtype), _cast(wm2, dtype),
-                   preferred_element_type=jnp.float32) \
-        + bm2[:, None, :, None, None]
+    qk = jnp.einsum(f"ntvc,kcr->{lay}", _cast(x, dtype),
+                    _cast(jnp.concatenate([wm1, wm2], axis=-1), dtype),
+                    preferred_element_type=jnp.float32) \
+        + jnp.concatenate([bm1, bm2], axis=-1)[:, None, :, None, None]
+    q, k = qk[:, :, :rr], qk[:, :, rr:]
     p = vv if pair == "vv" else tt
     ss = rr * (tt if pair == "vv" else vv)
     q = _cast(q, dtype).reshape(kk, nn, ss, p)

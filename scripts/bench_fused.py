@@ -28,10 +28,10 @@ from dstdgcn_tpu.ops import dstd as ops  # noqa: E402
 
 
 def _time_looped(op, x0, iters=30):
+    """Output-carried loop (the ``acc + 0.0 * op(acc)`` pattern is
+    algebraically folded away by XLA — see bench.py's slope timer)."""
     def f(x):
-        def body(i, acc):
-            return acc + 0.0 * jnp.sum(op(acc))
-        return jax.lax.fori_loop(0, iters, body, x)
+        return jax.lax.fori_loop(0, iters, lambda i, acc: op(acc), x)
 
     jf = jax.jit(f)
     jax.block_until_ready(jf(x0))

@@ -310,6 +310,12 @@ def test_encoder_chain_matches_oracle(agg):
     want = np.asarray(fused._encoder_oracle(x, layers, agg))
     got = np.asarray(fused.dstd_encoder_chain(x, layers, agg))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    # bf16 MXU dots (f32 accumulation): loose tolerance, same semantics —
+    # the serving bench's fused-encoder bf16 row rides this path
+    got16 = np.asarray(fused.dstd_encoder_chain(x, layers, agg,
+                                                dtype=jnp.bfloat16))
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got16 - want).max() / scale < 6e-2
 
 
 @pytest.mark.parametrize("fast", [False, True])
