@@ -218,7 +218,7 @@ def _loop_total(op, x0, iters):
     jf = jax.jit(f)
     jax.block_until_ready(jf(x0))
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):   # best-of-3: the tunnel's load varies ~20% run-to-run
         t0 = time.perf_counter()
         jax.block_until_ready(jf(x0))
         best = min(best, time.perf_counter() - t0)
@@ -500,6 +500,17 @@ def main():
             "step_ms_fused_chain_bf16_nb8",
             lambda xx: fk.dstd_chain(xx, cb, dtype=jnp.bfloat16, nb=8),
             x_ntvc)
+
+    # the tunneled chip's throughput drifts over a run; re-measure the
+    # baseline after the candidates (all compiles cached) and take the min
+    # so vs_baseline is not hostage to load at process start
+    t_naive2 = measure("step_ms_reference_style_remeasured",
+                       lambda xx: naive_reference_forward(params, xx),
+                       x_nctv)
+    if t_naive and t_naive2:
+        t_naive = min(t_naive, t_naive2)
+    elif t_naive2:
+        t_naive = t_naive2
 
     ok = {k_: v_ for k_, v_ in candidates.items() if v_ is not None}
     if ok and t_naive:
