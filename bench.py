@@ -74,6 +74,23 @@ def _flops_per_forward(n, t, v, c, num_blocks, k_s=2, k_t=1, r=2):
     return num_blocks * (sp + tm)
 
 
+def _algo_bw_bytes(n, t, v, c, num_blocks, k_s=2, k_t=1, r=2, itemsize=2):
+    """Unavoidable HBM bytes of one op-chain forward for THIS algorithm
+    (not just input/output): the pairwise-score tensors, projected
+    features, and dynamic adjacencies are written once and read once each
+    at ``itemsize`` bytes (bf16 flow), assuming perfectly packed layouts.
+    The measured gap to this floor is layout padding (V=22/T=35 on
+    128-lane tiles) plus pipeline overhead — see README perf notes."""
+    sp_scores = k_s * n * (r * t) * v * v          # tanh pair scores
+    tm_scores = k_t * n * (r * v) * t * t
+    xf = (k_s + k_t) * n * t * v * c               # projected features
+    adj_sp = k_s * n * t * v * v                   # dynamic adjacency
+    adj_tm = k_t * n * v * t * t
+    act = 2 * n * t * v * c                        # op in + out
+    per_block = 2 * (sp_scores + tm_scores + xf + adj_sp + adj_tm) + act
+    return num_blocks * per_block * itemsize
+
+
 def naive_reference_forward(params_list, x_ncTV):
     """Reference-structured forward: per-kernel loop, separate einsums,
     channels-first (N, C, T, V) — the shape of a direct port."""
@@ -443,6 +460,8 @@ def main():
                   2 * x_ntvc.size * 4 / PEAK_BW)   # read x + write out once
     detail["roofline_floor_ms"] = round(t_floor * 1e3, 4)
     detail["gflop_per_forward"] = round(flops / 1e9, 2)
+    t_algo = max(_algo_bw_bytes(n, t, v, c, blocks) / PEAK_BW, t_floor)
+    detail["algo_bw_floor_ms"] = round(t_algo * 1e3, 4)
 
     def measure(name, fn, x0, i1=5, i2=25):
         try:
@@ -519,6 +538,7 @@ def main():
         detail["step_ms_ours"] = round(t_ours * 1e3, 3)
         detail["ours_variant"] = best_name
         detail["pct_of_roofline"] = round(100 * t_floor / t_ours, 2)
+        detail["pct_of_algo_bw_floor"] = round(100 * t_algo / t_ours, 2)
         detail["achieved_tflops"] = round(flops / t_ours / 1e12, 3)
         RESULT["value"] = round(edges / t_ours, 1)
         RESULT["vs_baseline"] = round(t_naive / t_ours, 4)
