@@ -98,3 +98,34 @@ def test_plot_expmap_multi_writes_gif(tmp_path):
     pred = gt + 0.05 * rng.randn(3, 99).astype(np.float32)
     gif = plot_expmap_multi(gt, pred, str(tmp_path), "seq")
     assert gif is not None and (tmp_path / "seq.gif").exists()
+
+
+def test_all_shipped_configs_load_and_build_model():
+    """Every configs/*.yaml parses through the config system and its
+    model block constructs the registered flax module with those exact
+    keys (guards perf-knob configs, e.g. dstdgcn_h36m_tpu.yaml, against
+    constructor drift)."""
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+
+    from dstdgcn_tpu.models import DSTDGCN
+    from dstdgcn_tpu.utils.config import get_config
+
+    paths = sorted(glob.glob(os.path.join(
+        os.path.dirname(__file__), "..", "configs", "*.yaml")))
+    assert paths
+    for path in paths:
+        cfg = get_config(path)
+        opts = dict(cfg.model[cfg.model["name"]])
+        model = DSTDGCN(**opts)
+        t_in = int(opts["input_time_frame"])
+        t_out = int(opts["output_time_frame"])
+        v = int(opts["joints_to_consider"])
+        x = jnp.zeros((1, t_in + t_out, v, opts["input_channels"] // 2),
+                      jnp.float32)
+        variables = model.init({"params": jax.random.key(0)}, x,
+                               train=False)
+        out = model.apply(variables, x, train=False)
+        assert out.shape == x.shape, path
