@@ -8,6 +8,7 @@ become stacked kernel axes, and everything composes under ``jit``/``pjit``.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
@@ -140,6 +141,12 @@ class DSTDGC(nn.Module):
     #: block-diagonal grouped aggregation (ops.dstd agg_group): packs g
     #: frames (spatial) / joints (temporal) per MXU matmul
     agg_group: Optional[int] = None
+    #: jax.checkpoint the op: the backward pass recomputes the pairwise
+    #: score / projected-feature / dynamic-adjacency intermediates instead
+    #: of saving them — the op is FLOP-cheap (~3% of the MXU roofline) but
+    #: HBM-heavy, so rematerialization cuts live memory ~4x per block and
+    #: lets the train step run at much larger batch
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, base_adj: Array, alpha: Array,
@@ -178,11 +185,17 @@ class DSTDGC(nn.Module):
             from ..kernels import fused as fk
             fn = (fk.dstd_spatial if self.mode == "spatial"
                   else fk.dstd_temporal)
-            return fn(*args, agg=self.agg, dtype=dtype)
-        fn = ops.dstd_spatial if self.mode == "spatial" else ops.dstd_temporal
-        return fn(*args, agg=self.agg, dtype=dtype,
-                  pair_flat=self.pair_flat in (True, self.mode),
-                  agg_group=self.agg_group)
+            call = functools.partial(fn, agg=self.agg, dtype=dtype)
+        else:
+            fn = (ops.dstd_spatial if self.mode == "spatial"
+                  else ops.dstd_temporal)
+            call = functools.partial(
+                fn, agg=self.agg, dtype=dtype,
+                pair_flat=self.pair_flat in (True, self.mode),
+                agg_group=self.agg_group)
+        if self.remat:
+            call = jax.checkpoint(call)
+        return call(*args)
 
 
 class DSTDGCB(nn.Module):
