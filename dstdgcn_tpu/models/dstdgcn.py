@@ -50,6 +50,9 @@ class DSTDGCN(nn.Module):
     #: e.g. "bfloat16": MXU-native mixed precision for the DSTD contractions
     #: (bf16 inputs, f32 accumulation); params and outputs stay f32
     compute_dtype: Optional[str] = None
+    #: jax.checkpoint every DSTD-GC op: the backward recomputes the
+    #: HBM-heavy score/adjacency intermediates instead of saving them
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool = False) -> Array:
@@ -70,6 +73,7 @@ class DSTDGCN(nn.Module):
                       pair_flat=self.pair_flat,
                       agg_group_spatial=self.agg_group_spatial,
                       agg_group_temporal=self.agg_group_temporal,
+                      remat=self.remat,
                       refine=True)
 
         h = STGCNNLayer(out_channels=self.num_feature, residual=False,
@@ -111,7 +115,7 @@ def get_model(name: str, **opts: Any) -> DSTDGCN:
         kwargs.pop(k, None)
     kwargs.update(_REGISTRY[name])
     for k in ("bn_axis_name", "use_pallas", "compute_dtype", "pair_flat",
-              "agg_group_spatial", "agg_group_temporal"):
+              "agg_group_spatial", "agg_group_temporal", "remat"):
         if k in opts:
             kwargs[k] = opts[k]
     return DSTDGCN(**kwargs)

@@ -232,6 +232,7 @@ class DSTDGCB(nn.Module):
     pair_flat: Union[bool, str] = False
     agg_group_spatial: Optional[int] = None
     agg_group_temporal: Optional[int] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
@@ -274,6 +275,7 @@ class DSTDGCB(nn.Module):
                    compute_dtype=self.compute_dtype,
                    pair_flat=self.pair_flat,
                    agg_group=self.agg_group_spatial,
+                   remat=self.remat,
                    name="spatial")(x, base_s, alpha_sm)
         y = JointBatchNorm(axis_name=self.bn_axis_name, dtype=act_dtype,
                            name="bn")(y, train=train)
@@ -285,6 +287,7 @@ class DSTDGCB(nn.Module):
                    compute_dtype=self.compute_dtype,
                    pair_flat=self.pair_flat,
                    agg_group=self.agg_group_temporal,
+                   remat=self.remat,
                    name="temporal")(y, base_t, alpha_tm)
         return z
 
@@ -334,6 +337,7 @@ class STGCNNLayer(nn.Module):
     pair_flat: Union[bool, str] = False
     agg_group_spatial: Optional[int] = None
     agg_group_temporal: Optional[int] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
@@ -355,6 +359,7 @@ class STGCNNLayer(nn.Module):
                         pair_flat=self.pair_flat,
                         agg_group_spatial=self.agg_group_spatial,
                         agg_group_temporal=self.agg_group_temporal,
+                        remat=self.remat,
                         name="block")(
                             x, train=train)
         else:
