@@ -1,0 +1,467 @@
+#!/usr/bin/env python
+"""Consolidated TPU measurement harness for the dstdgcn_tpu perf work.
+
+One parameterized script replacing the round-1..3 probe_mosaic*/probe_r*
+one-offs (archived in scripts/archive/).  Subcommands:
+
+  python scripts/probe.py chain    # whole-chain kernel variants + ablation
+  python scripts/probe.py train    # train-step attribution (remat x bf16)
+  python scripts/probe.py all
+
+Every measurement is appended incrementally to /tmp/probe_results.jsonl
+(and echoed) so partial runs survive compile-service flakes.  Timing uses
+bench._time_slope (two-point fori_loop slope; cancels the tunneled chip's
+fixed dispatch cost).
+
+The ``chain`` subcommand builds a PARAMETERIZED variant of the shipping
+whole-chain kernel (kernels/fused.py::_chain_grid_kernel) with these axes:
+
+  pad_t      pad frames 35->40 (shipping behavior) or keep T=35 — every
+             reshape that touches T merges/splits MAJOR dims, so only V
+             needs the sublane pad; dropping the T pad removes ~23%% of the
+             temporal score work and the pad/slice dance
+  merge_wf   emit BOTH spatial feature projections from ONE (C, K*C)
+             matmul (128 lanes, a full MXU tile) instead of two 64-lane
+             matmuls, then re-batch with one sublane transpose
+  gagg       (gs, gt) in-kernel block-diagonal grouped aggregation: pack
+             gs frames / gt joints per matmul so the tiny per-(n,frame)
+             V x V aggregation becomes ~128-wide MXU matmuls (the XLA-path
+             winner from ops/dstd.py, folded into the kernel)
+  ablate     stage knock-outs for cost attribution: copy / nodyn / noagg /
+             notanh / noqk
+  nb         samples per grid program
+  dtype      cast MXU dot inputs (bf16; f32 accumulation)
+
+Non-ablated variants are allclose-checked against ops.dstd on device
+before timing.
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/dstdgcn_tpu/xla"))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import bench  # noqa: E402  (repo-root harness: params, slope timing)
+from dstdgcn_tpu.kernels.fused import (_dot_fn, _pad_to, _row_mask,  # noqa: E402
+                                       _stack_qk, _vmem_limit)
+
+OUT_PATH = os.environ.get("PROBE_OUT", "/tmp/probe_results.jsonl")
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def emit(name, value, **extra):
+    rec = {"name": name, "value": value, **extra}
+    line = json.dumps(rec)
+    print(line, flush=True)
+    with open(OUT_PATH, "a") as f:
+        f.write(line + "\n")
+
+
+def measure(name, fn, x0, **extra):
+    try:
+        sec = bench._with_retry(lambda: bench._time_slope(fn, x0))
+        emit(name, round(sec * 1e3, 3), unit="ms", **extra)
+        return sec
+    except Exception as e:  # noqa: BLE001
+        emit(name, None, error=f"{type(e).__name__}: {str(e)[:200]}", **extra)
+        return None
+
+
+# --------------------------------------------------------------- chain --
+
+
+def _block_diag(a3, g):
+    """(B, P, P) -> (B//g, g*P, g*P) block-diagonal (ops._block_diag_batch
+    restated for the kernel body)."""
+    b, p, _ = a3.shape
+    a4 = a3.reshape(b // g, g, p, p)
+    eye = jnp.eye(g, dtype=a3.dtype)
+    bd = a4[:, :, :, None, :] * eye[:, None, :, None]
+    return bd.reshape(b // g, g * p, g * p)
+
+
+def _spatial_stage(x2, nb, tp, vp, jmask, ks, red, dot, opt,
+                   base_ref, alpha_ref, wf_ref, bf_ref, wqk_ref, bqk_ref,
+                   wrm_ref, brm_ref):
+    co = x2.shape[-1]       # chain: constant channel width
+    alpha = alpha_ref[0, 0, 0]
+    ab = opt.get("ablate")
+
+    # ---- feature projection(s)
+    if opt.get("merge_wf") and ks > 1:
+        # wf_ref here is the host-merged (1, C, K*C) panel
+        xf_all = dot(x2, wf_ref[0]) + bf_ref[0]
+        xf_all = xf_all * jmask
+        xf4 = xf_all.reshape(nb * tp, vp, ks, co)
+        xf_cat = jnp.swapaxes(xf4, 1, 2).reshape(nb * tp, ks * vp, co)
+    else:
+        xfs = []
+        for k in range(ks):
+            xf = dot(x2, wf_ref[0, k]) + bf_ref[0, k]
+            xfs.append((xf * jmask).reshape(nb * tp, vp, co))
+        xf_cat = xfs[0] if ks == 1 else jnp.concatenate(xfs, axis=1)
+
+    if ab == "projonly":
+        # skip scores AND aggregation: fold kernels by sum
+        y = xf_cat.reshape(nb * tp, ks, vp, co).sum(axis=1)
+        return y.reshape(nb * tp * vp, co)
+
+    # ---- dynamic adjacency
+    adjs = []
+    if ab in ("nodyn", "noqk"):
+        keep = jnp.float32(0.0)
+        if ab == "nodyn":
+            # projection cost only; *1e-30 keeps it alive past DCE
+            qk = dot(x2, wqk_ref[0]) + bqk_ref[0]
+            keep = qk[0, 0] * 1e-30
+        for k in range(ks):
+            adj = base_ref[0, k, :, :, 0][None] + keep
+            adjs.append(jnp.broadcast_to(adj, (nb * tp, vp, vp)))
+    else:
+        qk = dot(x2, wqk_ref[0]) + bqk_ref[0]
+        qk4 = qk.reshape(nb, tp, vp, ks * 2 * red)
+        qk_t = jnp.swapaxes(jnp.swapaxes(qk4, 1, 2), 2, 3)  # (nb,vp,K2R,tp)
+        act = (lambda z: z) if ab == "notanh" else jnp.tanh
+        for k in range(ks):
+            dyn = None
+            for ri in range(red):
+                qs = qk_t[:, :, k * 2 * red + ri, :]
+                kk = qk_t[:, :, k * 2 * red + red + ri, :]
+                s = act(qs[:, None, :, :] - kk[:, :, None, :])  # agg=right
+                d = dot(s.reshape(nb * vp * vp, tp), wrm_ref[0, k, ri])
+                dyn = d if dyn is None else dyn + d
+            adj = dyn.reshape(nb, vp, vp, tp)
+            adj = (adj + brm_ref[0, k]) * alpha + base_ref[0, k][None]
+            adj = jnp.swapaxes(jnp.swapaxes(adj, 2, 3), 1, 2)  # (nb,tp,a,b)
+            adjs.append(adj.reshape(nb * tp, vp, vp))
+
+    # ---- aggregation
+    gs = (opt.get("gagg") or (None, None))[0]
+    if gs:
+        adj_cat = jnp.concatenate([_block_diag(a, gs) for a in adjs], axis=2) \
+            if ks > 1 else _block_diag(adjs[0], gs)
+        xf_g = xf_cat.reshape(nb * tp, ks, vp, co)
+        xf_g = jnp.swapaxes(xf_g, 0, 1).reshape(ks, nb * tp // gs, gs * vp,
+                                                co)
+        xf_cat2 = jnp.concatenate(list(xf_g), axis=1) if ks > 1 else xf_g[0]
+        out = dot(adj_cat, xf_cat2, (((2,), (1,)), ((0,), (0,))))
+        out = out.reshape(nb * tp * vp, co)
+    else:
+        adj_cat = adjs[0] if ks == 1 else jnp.concatenate(adjs, axis=2)
+        out = dot(adj_cat, xf_cat, (((2,), (1,)), ((0,), (0,))))
+        out = out.reshape(nb * tp * vp, co)
+    return out * jmask
+
+
+def _temporal_stage(x2, nb, tp, vp, jmask, kt, red, dot, opt,
+                    base_ref, alpha_ref, wf_ref, bf_ref, wqk_ref, bqk_ref,
+                    wrm_ref, brm_ref):
+    co = x2.shape[-1]
+    alpha = alpha_ref[0, 0, 0]
+    ab = opt.get("ablate")
+
+    xfs = []
+    for k in range(kt):
+        xf = dot(x2, wf_ref[0, k]) + bf_ref[0, k]
+        xf = xf * jmask
+        xf_v = jnp.swapaxes(xf.reshape(nb, tp, vp, co), 1, 2) \
+            .reshape(nb * vp, tp, co)
+        xfs.append(xf_v)
+    xf_cat = xfs[0] if kt == 1 else jnp.concatenate(xfs, axis=1)
+
+    if ab == "projonly":
+        out_v = xf_cat.reshape(nb * vp, kt, tp, co).sum(axis=1)
+        out = jnp.swapaxes(out_v.reshape(nb, vp, tp, co), 1, 2)
+        return out.reshape(nb * tp * vp, co)
+
+    adjs = []
+    if ab in ("nodyn", "noqk"):
+        keep = jnp.float32(0.0)
+        if ab == "nodyn":
+            qk = dot(x2, wqk_ref[0]) + bqk_ref[0]
+            keep = qk[0, 0] * 1e-30
+        for k in range(kt):
+            adj = jnp.swapaxes(base_ref[0, k, :, :, 0], 0, 1)[None] + keep
+            adjs.append(jnp.broadcast_to(adj, (nb * vp, tp, tp)))
+    else:
+        qk = dot(x2, wqk_ref[0]) + bqk_ref[0]
+        qk3 = qk.reshape(nb * tp, vp, kt * 2 * red)
+        qk_t = jnp.swapaxes(qk3, 1, 2)
+        act = (lambda z: z) if ab == "notanh" else jnp.tanh
+        for k in range(kt):
+            dyn = None
+            for ri in range(red):
+                qs = qk_t[:, k * 2 * red + ri, :].reshape(nb, tp, vp)
+                kk = qk_t[:, k * 2 * red + red + ri, :].reshape(nb, tp, vp)
+                s = act(qs[:, :, None, :] - kk[:, None, :, :])
+                d = dot(s.reshape(nb * tp * tp, vp), wrm_ref[0, k, ri])
+                dyn = d if dyn is None else dyn + d
+            adj = dyn.reshape(nb, tp, tp, vp)
+            adj = (adj + brm_ref[0, k]) * alpha + base_ref[0, k][None]
+            adj = jnp.swapaxes(jnp.swapaxes(adj, 2, 3), 1, 2)
+            adj_v = adj.reshape(nb * vp, tp, tp)
+            adj_v = jnp.swapaxes(adj_v, 1, 2)   # agg=right
+            adjs.append(adj_v)
+    adj_cat = adjs[0] if kt == 1 else jnp.concatenate(adjs, axis=2)
+
+    gt = (opt.get("gagg") or (None, None))[1]
+    if gt and vp % gt == 0:
+        adj_cat = _block_diag(adj_cat, gt)
+        xf_cat = xf_cat.reshape(nb * vp // gt, gt * tp, co)
+        out_v = dot(adj_cat, xf_cat, (((2,), (1,)), ((0,), (0,))))
+        out_v = out_v.reshape(nb * vp, tp, co)
+    else:
+        out_v = dot(adj_cat, xf_cat, (((2,), (1,)), ((0,), (0,))))
+    out = jnp.swapaxes(out_v.reshape(nb, vp, tp, co), 1, 2)
+    return out.reshape(nb * tp * vp, co) * jmask
+
+
+def _variant_kernel(x_ref, sb, sa, swf, sbf, swqk, sbqk, swrm, sbrm,
+                    tb, ta, twf, tbf, twqk, tbqk, twrm, tbrm, out_ref,
+                    *, ks, kt, red, v_real, t_real, opt):
+    nb, tp, vp, cin = x_ref.shape
+    dot = _dot_fn(opt.get("dtype"))
+    jmask = _row_mask(nb * tp * vp, tp, vp, t_real, v_real)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _seed():
+        out_ref[:] = x_ref[:]
+
+    if opt.get("ablate") == "copy":
+        out_ref[:] = x_ref[:]
+        return
+
+    x2 = out_ref[:].reshape(nb * tp * vp, cin)
+    y2 = _spatial_stage(x2, nb, tp, vp, jmask, ks, red, dot, opt,
+                        sb, sa, swf, sbf, swqk, sbqk, swrm, sbrm)
+    z2 = _temporal_stage(y2, nb, tp, vp, jmask, kt, red, dot, opt,
+                         tb, ta, twf, tbf, twqk, tbqk, twrm, tbrm)
+    out_ref[:] = z2.reshape(nb, tp, vp, cin)
+
+
+def chain_variant(x, blocks_params, *, nb=4, pad_t=True, merge_wf=False,
+                  gagg=None, ablate=None, dtype=None):
+    """Parameterized whole-chain kernel (forward only, timing use)."""
+    n, t, v, cin = x.shape
+    vp = -(-v // 8) * 8
+    tp = -(-t // 8) * 8 if pad_t else t
+    sp0, tp0 = blocks_params[0]
+    ks, kt, red = sp0[2].shape[0], tp0[2].shape[0], sp0[4].shape[-1]
+    opt = dict(merge_wf=merge_wf, gagg=gagg, ablate=ablate, dtype=dtype)
+
+    def prep_s(s):
+        base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm = s
+        base_p = _pad_to(_pad_to(base, 1, vp), 2, vp)
+        base_p = jnp.swapaxes(base_p, 1, 2)        # agg=right kernel layout
+        wqk, bqk = _stack_qk(wm1, bm1, wm2, bm2)
+        wrm_p = _pad_to(_pad_to(wrm, 2, tp), 3, tp)
+        brm_p = _pad_to(brm, 1, tp)[:, None, None, :]
+        if merge_wf and ks > 1:
+            # one (C, K*C) panel; bf packed to (1, K*C)
+            wf_m = jnp.concatenate([wf[k] for k in range(ks)], axis=1)
+            bf_m = jnp.concatenate([bf[k] for k in range(ks)])[None, :]
+        else:
+            wf_m, bf_m = wf, bf[:, None, :]
+        return (base_p[..., None], jnp.asarray(alpha, jnp.float32)
+                .reshape(1, 1), wf_m, bf_m, wqk, bqk, wrm_p, brm_p)
+
+    def prep_t(s):
+        base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm = s
+        wqk, bqk = _stack_qk(wm1, bm1, wm2, bm2)
+        wrm_p = _pad_to(_pad_to(wrm, 2, vp), 3, vp)
+        base_p = _pad_to(_pad_to(base, 1, tp), 2, tp)[..., None]
+        brm_p = _pad_to(brm, 1, vp)[:, None, None, :]
+        return (base_p, jnp.asarray(alpha, jnp.float32).reshape(1, 1),
+                wf, bf[:, None, :], wqk, bqk, wrm_p, brm_p)
+
+    s_args = [jnp.stack(a) for a in zip(*[prep_s(s) for s, _ in
+                                          blocks_params])]
+    t_args = [jnp.stack(a) for a in zip(*[prep_t(tt) for _, tt in
+                                          blocks_params])]
+    x_p = _pad_to(_pad_to(x.astype(jnp.float32), 2, vp), 1, tp)
+
+    def per_block(a):
+        nd = a.ndim
+        return pl.BlockSpec((1,) + a.shape[1:],
+                            lambda i, b, _n=nd: (b,) + (0,) * (_n - 1),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_variant_kernel, ks=ks, kt=kt, red=red,
+                          v_real=v, t_real=t, opt=opt),
+        out_shape=jax.ShapeDtypeStruct((n, tp, vp, cin), jnp.float32),
+        grid=(n // nb, len(blocks_params)),
+        in_specs=[pl.BlockSpec((nb, tp, vp, cin), lambda i, b: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [per_block(a) for a in s_args + t_args],
+        out_specs=pl.BlockSpec((nb, tp, vp, cin), lambda i, b: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_vmem_limit()),
+        interpret=INTERPRET,
+    )(x_p, *s_args, *t_args)
+    return out[:, :t, :v, :]
+
+
+def run_chain(args):
+    n, t, v, c, blocks = 128, 35, 22, 64, 7
+    rng = np.random.RandomState(0)
+    params = bench._naive_params(rng, blocks, c, t, v)
+    cb = bench._chain_blocks(params)
+    x = jnp.asarray(rng.randn(n, t, v, c).astype(np.float32))
+
+    # reference outputs for correctness
+    want = np.asarray(bench.stacked_forward(params, x))
+    ref = float(np.abs(want).max())
+
+    def check(name, fn):
+        try:
+            got = np.asarray(jax.jit(fn)(x))
+        except Exception as e:  # noqa: BLE001
+            emit(f"check_{name}", None,
+                 error=f"{type(e).__name__}: {str(e)[:200]}")
+            return False
+        err = float(np.abs(got - want).max()) / max(ref, 1.0)
+        emit(f"check_{name}", err, unit="rel_err")
+        return err < 2e-2
+
+    variants = [
+        ("chain_v0_nb4", dict(nb=4)),                       # shipping ctrl
+        ("chain_nopadT_nb4", dict(nb=4, pad_t=False)),
+        ("chain_nopadT_nb8", dict(nb=8, pad_t=False)),
+        ("chain_nopadT_nb16", dict(nb=16, pad_t=False)),
+        ("chain_nopadT_mwf_nb4", dict(nb=4, pad_t=False, merge_wf=True)),
+        ("chain_nopadT_gagg_nb4", dict(nb=4, pad_t=False, gagg=(5, 3))),
+        ("chain_nopadT_mwf_gagg_nb4",
+         dict(nb=4, pad_t=False, merge_wf=True, gagg=(5, 3))),
+        ("chain_nopadT_mwf_gagg_nb8",
+         dict(nb=8, pad_t=False, merge_wf=True, gagg=(5, 3))),
+    ]
+    for name, kw in variants:
+        fn = lambda xx, _kw=kw: chain_variant(xx, cb, **_kw)
+        if check(name, fn):
+            measure(name, fn, x)
+
+    # ablations on the nopadT nb4 base
+    for ab in ("copy", "projonly", "noqk", "nodyn", "notanh"):
+        fn = lambda xx, _ab=ab: chain_variant(xx, cb, nb=4, pad_t=False,
+                                              ablate=_ab)
+        measure(f"chain_ablate_{ab}", fn, x)
+
+    # bf16 dots on the best structural variant
+    for name, kw in [("chain_nopadT_bf16_nb4",
+                      dict(nb=4, pad_t=False, dtype=jnp.bfloat16)),
+                     ("chain_nopadT_mwf_gagg_bf16_nb4",
+                      dict(nb=4, pad_t=False, merge_wf=True, gagg=(5, 3),
+                           dtype=jnp.bfloat16))]:
+        fn = lambda xx, _kw=kw: chain_variant(xx, cb, **_kw)
+        if check(name, fn):
+            measure(name, fn, x)
+
+    # calibration rows
+    measure("xla_bd_bf16",
+            lambda xx: bench.stacked_forward(params, xx, dtype=jnp.bfloat16,
+                                             agg_group_s=5, agg_group_t=3),
+            x)
+    # hybrid: fused-spatial per-op kernel + XLA temporal (bd+bf16)
+    from dstdgcn_tpu.kernels import fused as fk
+    from dstdgcn_tpu.ops import dstd as xops
+
+    def hybrid(xx):
+        for p in params:
+            xx = fk.dstd_spatial(xx, p["base_s"], p["alpha_s"], p["wf_s"],
+                                 p["bf_s"], p["wm1_s"], p["bm1_s"],
+                                 p["wm2_s"], p["bm2_s"], p["wrm_s"],
+                                 p["brm_s"], None, "right")
+            xx = xops.dstd_temporal(xx, p["base_t"], p["alpha_t"], p["wf_t"],
+                                    p["bf_t"], p["wm1_t"], p["bm1_t"],
+                                    p["wm2_t"], p["bm2_t"], p["wrm_t"],
+                                    p["brm_t"], None, "right",
+                                    dtype=jnp.bfloat16, agg_group=3)
+        return xx.astype(jnp.float32)
+
+    if check("hybrid_fspatial_xtemporal", hybrid):
+        measure("hybrid_fspatial_xtemporal", hybrid, x)
+
+
+# --------------------------------------------------------------- train --
+
+
+def run_train(args):
+    rows = [
+        ("train_f32", dict(use_pallas=False)),
+        ("train_bf16_gagg", dict(use_pallas=False, compute_dtype="bfloat16",
+                                 agg_group=(5, 3))),
+        ("train_remat_f32", dict(use_pallas=False, remat=True)),
+        ("train_remat_bf16_gagg",
+         dict(use_pallas=False, compute_dtype="bfloat16", agg_group=(5, 3),
+              remat=True)),
+    ]
+    for name, kw in rows:
+        try:
+            sec = bench._with_retry(lambda _kw=kw:
+                                    bench.bench_train_step(128, **_kw))
+            emit(name, round(sec * 1e3, 3), unit="ms")
+        except Exception as e:  # noqa: BLE001
+            emit(name, None, error=f"{type(e).__name__}: {str(e)[:200]}")
+
+    # train-mode forward alone (BN batch stats + dropout), for attribution
+    import jax.random as jrandom
+
+    from dstdgcn_tpu.models import DSTDGCN
+
+    for name, mkw in [
+        ("fwd_train_f32", {}),
+        ("fwd_train_bf16_gagg", dict(compute_dtype="bfloat16",
+                                     agg_group_spatial=5,
+                                     agg_group_temporal=3)),
+    ]:
+        model = DSTDGCN(input_channels=6, input_time_frame=10,
+                        output_time_frame=25, st_gcnn_dropout=0.1,
+                        joints_to_consider=22, num_feature=64, num_layers=5,
+                        layout="h36m", **mkw)
+        rng = np.random.RandomState(0)
+        x0 = jnp.asarray(rng.randn(128, 35, 22, 3), jnp.float32)
+        variables = model.init({"params": jrandom.key(0)}, x0[:1],
+                               train=False)
+
+        def fwd(xx, _m=model, _v=variables):
+            out, _ = _m.apply(_v, xx, train=True,
+                              rngs={"dropout": jrandom.key(1)},
+                              mutable=["batch_stats"])
+            return out
+
+        measure(name, fwd, x0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=["chain", "train", "all"])
+    args = ap.parse_args()
+    emit("device", str(jax.devices()[0]))
+    if args.cmd in ("chain", "all"):
+        run_chain(args)
+    if args.cmd in ("train", "all"):
+        run_train(args)
+
+
+if __name__ == "__main__":
+    main()
