@@ -51,6 +51,27 @@ def test_spatial_edge_partitioned_matches_oracle(graph_size):
 
 
 @pytest.mark.parametrize("graph_size", [2, 4])
+def test_spatial_ring_matches_oracle(graph_size):
+    """Ring-pipelined (ppermute-overlapped) spatial op vs the oracle —
+    every (source, destination) pair visited exactly once across rounds."""
+    from dstdgcn_tpu.parallel import dstd_spatial_ring
+
+    mesh = make_mesh(graph=graph_size)
+    rng = np.random.RandomState(4)
+    n, t, v, cin, co, k = 3, 7, 8, 6, 5, 2
+    x = jnp.asarray(rng.randn(n, t, v, cin), jnp.float32)
+    base = jnp.asarray(rng.randn(k, v, v), jnp.float32) * 0.3
+    alpha = jnp.asarray(0.7)
+    w = _weights(rng, k, cin, co, 2, t)
+    want = ops.dstd_spatial(x, base, alpha, **w)
+    got = dstd_spatial_ring(mesh, x, base, alpha, *[
+        w[n_] for n_ in
+        ["wf", "bf", "wm1", "bm1", "wm2", "bm2", "wrm", "brm"]])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("graph_size", [2, 4])
 def test_temporal_edge_partitioned_matches_oracle(graph_size):
     mesh = make_mesh(graph=graph_size)
     rng = np.random.RandomState(1)
