@@ -17,7 +17,7 @@ Pallas kernel).
 
 Timing method: each variant runs inside a jitted fori_loop at TWO
 iteration counts and the reported time is the slope — the tunneled chip's
-~20 ms fixed dispatch cost cancels (measured in scripts/probe_mosaic11;
+~20 ms fixed dispatch cost cancels (measured in scripts/archive/probe_mosaic11;
 single-loop timings overstate per-op cost by ~0.6 ms at 30 iterations).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
@@ -244,7 +244,7 @@ def _loop_total(op, x0, iters):
 
 def _time_slope(op, x0, i1=5, i2=25):
     """Marginal per-op seconds: two-point slope cancels the tunneled
-    chip's fixed per-dispatch overhead (scripts/probe_mosaic11).
+    chip's fixed per-dispatch overhead (scripts/archive/probe_mosaic11).
 
     Robustness: a noisy dispatch (the tunnel's fixed cost varies by ~ms
     under load) can make the slope collapse to ~0 (observed: the round-3

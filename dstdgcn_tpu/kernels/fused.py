@@ -7,7 +7,7 @@ in VMEM.  The all-pairs score tensor and the dynamic adjacency never touch
 HBM.  On the XLA path those intermediates are materialized with their
 minor dims (V~22..25 joints, R=2 reduction channels) padded to 128-lane
 tiles, so the op is bound by ~5-60x inflated HBM traffic (measured in
-``scripts/profile_components.py``); fusing removes that entirely.
+``scripts/archive/profile_components.py``); fusing removes that entirely.
 
 Semantics are identical to :mod:`dstdgcn_tpu.ops.dstd` (golden-tested
 against /root/reference/model/dstdgcn.py:53-94 via the oracle); gradients
@@ -15,7 +15,7 @@ flow through a ``custom_vjp`` whose backward is derived from the oracle,
 so training with ``use_pallas=True`` is exact.
 
 Mosaic layout strategy (every step compile-verified on a real v5e via
-``scripts/probe_mosaic*.py``; per-stage costs measured in
+``scripts/archive/probe_mosaic*.py``; per-stage costs measured in
 ``probe_mosaic9``/``probe_mosaic11``):
 
   * joints (and, for the temporal op, frames) are zero-padded to sublane
@@ -370,7 +370,7 @@ dstd_temporal = _make_op(_temporal_kernel, _prep_temporal, True,
 # ---------------------------------------------------------------- chain --
 #
 # Whole-chain kernel: B alternating (spatial, temporal) DSTD-GC ops in ONE
-# pallas_call.  Stage ablation on a v5e (scripts/probe_mosaic9/11/13) shows
+# pallas_call.  Stage ablation on a v5e (scripts/archive/probe_mosaic9/11/13) shows
 # the per-op fused kernels are dominated by their grid pipeline — pad, DMA
 # in, DMA out, slice — not by compute (the temporal op's identity-copy
 # floor is ~86% of its total).  Fusing the chain pays that pipeline ONCE:
@@ -390,7 +390,7 @@ dstd_temporal = _make_op(_temporal_kernel, _prep_temporal, True,
 # block's weights VMEM-resident — produced a program that deterministically
 # crashes the Mosaic compile helper (tpu_compile_helper exit 1, reproduced
 # across retries on 2026-08-19); a fori_loop over dynamically-indexed VMEM
-# weights is likewise a hard crash (scripts/probe_mosaic14).
+# weights is likewise a hard crash (scripts/archive/probe_mosaic14).
 
 
 def _spatial_body(x2, b, nb, tp, vp, cin, jmask, ks, red, agg,

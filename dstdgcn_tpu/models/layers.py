@@ -176,7 +176,7 @@ class DSTDGC(nn.Module):
         # use_pallas: True routes both ops through the fused kernels;
         # "spatial" routes only the spatial op (the measured win on v5e —
         # the fused temporal op is pipeline-bound and loses to XLA, see
-        # scripts/probe_mosaic12/13)
+        # scripts/archive/probe_mosaic12/13)
         use_pallas = self.use_pallas and (self.use_pallas is True
                                           or self.use_pallas == self.mode)
         dtype = (None if self.compute_dtype is None

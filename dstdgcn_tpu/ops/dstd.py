@@ -106,7 +106,7 @@ def dyn_adjacency_spatial(x: jnp.ndarray, wm1, bm1, wm2, bm2, wrm, brm,
     TPU layout note: the projections are emitted as (K, N, R*T, V) with
     joints on the minor (lane) dim.  The natural (..., V, R) layout pads
     R=2 to a 128-lane tile — a 64x HBM traffic inflation that dominates
-    the whole op (measured in scripts/profile_components.py); V-minor
+    the whole op (measured in scripts/archive/profile_components.py); V-minor
     reduces the padding to ceil(V/128).
     """
     kk, rr = wm1.shape[0], wm1.shape[-1]
@@ -283,12 +283,12 @@ def _dyn_adjacency_flat(x, wm1, bm1, wm2, bm2, wrm, brm, mask, dtype,
     Rationale (TPU layout): the grid formulations materialize the score
     tensor and dyn with a tiny minor dim (V=22 or T=35), which XLA:TPU
     tiles to (8,128) — a 3.7-5.8x HBM inflation that dominates the op
-    (scripts/profile_components.py).  Keeping the pair dim FLAT (V*V=484
+    (scripts/archive/profile_components.py).  Keeping the pair dim FLAT (V*V=484
     or T*T=1225 on lanes) makes every big intermediate ~fully packed; only
     the final adjacency reshape before aggregation pays the padded layout,
     once.  Semantics identical to the grid functions (golden-tested).
 
-    Measured on a v5e (scripts/probe_flat.py, 7-block chain, N=128):
+    Measured on a v5e (scripts/archive/probe_flat.py, 7-block chain, N=128):
     grid f32 7.63 ms / flat f32 8.20 ms / flat bf16 7.20 ms — i.e. the
     chain is NOT bound by the padded score traffic (XLA overlaps it); the
     dominant cost is the per-(sample,frame) batched tiny-GEMM aggregation,
