@@ -378,10 +378,78 @@ def bench_inference(n_batch=128):
     t_fused16 = _time_slope(fused_fwd_bf16, x0)
     out["infer_ms_fused_encoder_bf16"] = round(t_fused16 * 1e3, 3)
     t_best_fused = min(t_fused, t_fused16)
-    out["infer_fused_speedup"] = round(t_std / t_best_fused, 3)
+    # honest denominator: the best STANDARD path (r03 used the f32 path,
+    # flattering the fused kernel — VERDICT r3 weak #5)
+    out["infer_fused_speedup"] = round(min(t_std, t_bd16) / t_best_fused, 3)
     out["infer_seq_per_s"] = round(
         n_batch / min(t_std, t_bd16, t_best_fused), 1)
     return out
+
+
+def tether_check(params, x_ntvc):
+    """Assert the bench-local candidate (stacked_forward) computes the SAME
+    function as the shipped module path (models.layers.DSTDGC -> ops.dstd)
+    under identical weights — the headline number must be the model's op,
+    not a bench-only re-implementation (VERDICT r3 weak #6).  Returns the
+    max relative error over a 1-block (spatial, temporal) chain."""
+    import jax.numpy as jnp
+
+    from dstdgcn_tpu.models.layers import DSTDGC
+
+    p = params[0]
+    t, v, c = x_ntvc.shape[1], x_ntvc.shape[2], x_ntvc.shape[3]
+    names = ["wf", "bf", "wm1", "bm1", "wm2", "bm2", "wrm", "brm"]
+    mod_s = DSTDGC(out_channels=c, ref_len=t, num_kernels=2, mode="spatial",
+                   agg_group=5, compute_dtype="bfloat16")
+    mod_t = DSTDGC(out_channels=c, ref_len=v, num_kernels=1, mode="temporal",
+                   agg_group=3, compute_dtype="bfloat16")
+    vars_s = {"params": {n_: p[f"{n_}_s"] for n_ in names}}
+    vars_t = {"params": {n_: p[f"{n_}_t"] for n_ in names}}
+    y = mod_s.apply(vars_s, x_ntvc, p["base_s"], p["alpha_s"])
+    y = mod_t.apply(vars_t, y, p["base_t"], p["alpha_t"])
+    y = y.astype(jnp.float32)
+    want = stacked_forward(params[:1], x_ntvc, dtype=jnp.bfloat16,
+                           agg_group_s=5, agg_group_t=3)
+    y, want = np.asarray(y), np.asarray(want)
+    return float(np.abs(y - want).max() / max(np.abs(want).max(), 1e-6))
+
+
+def bench_shapes(make_params, best_kwargs):
+    """Forward chain at non-flagship shapes: large batch, CMU (V=25),
+    3DPW (V=23, T=40), and single-sequence serving latency.  Reports
+    reference-style vs our best formulation per shape (VERDICT r3 next #7).
+    ``best_kwargs``: stacked_forward kwargs of the winning variant."""
+    import jax.numpy as jnp
+
+    rows = []
+    shapes = [
+        ("b512_h36m", 512, 35, 22),
+        ("b1024_h36m", 1024, 35, 22),
+        ("b128_cmu_v25", 128, 35, 25),
+        ("b128_3dpw_v23_t40", 128, 40, 23),
+        ("b1_serving", 1, 35, 22),
+    ]
+    c, blocks = 64, 7
+    for name, n, t, v in shapes:
+        rng = np.random.RandomState(1)
+        params = make_params(rng, blocks, c, t, v)
+        x = jnp.asarray(rng.randn(n, t, v, c).astype(np.float32))
+        x_nctv = jnp.transpose(x, (0, 3, 1, 2))
+        row = {"shape": name, "batch": n, "frames": t, "joints": v}
+        kw = dict(best_kwargs)
+        if t % (kw.get("agg_group_s") or 1) != 0:
+            kw["agg_group_s"] = None
+        try:
+            row["ref_ms"] = round(_with_retry(lambda: _time_slope(
+                lambda xx: naive_reference_forward(params, xx),
+                x_nctv)) * 1e3, 3)
+            row["ours_ms"] = round(_with_retry(lambda: _time_slope(
+                lambda xx: stacked_forward(params, xx, **kw), x)) * 1e3, 3)
+            row["speedup"] = round(row["ref_ms"] / row["ours_ms"], 3)
+        except Exception as e:  # noqa: BLE001
+            row["error"] = f"{type(e).__name__}: {str(e)[:120]}"
+        rows.append(row)
+    return rows
 
 
 def bench_sparse_kernels():
@@ -471,6 +539,14 @@ def main():
         except Exception as e:
             detail[name] = f"{type(e).__name__}: {str(e)[:120]}"
             return None
+
+    # bench-candidate <-> shipped-module tether: the timed formulation must
+    # compute the model's op (fail loudly in the JSON if it drifts)
+    try:
+        detail["tether_rel_err"] = round(tether_check(params, x_ntvc), 6)
+        detail["tether_ok"] = detail["tether_rel_err"] < 2e-2
+    except Exception as e:  # noqa: BLE001
+        detail["tether_ok"] = f"{type(e).__name__}: {str(e)[:120]}"
 
     t_naive = measure("step_ms_reference_style",
                       lambda xx: naive_reference_forward(params, xx), x_nctv)
@@ -590,6 +666,15 @@ def main():
         detail.update(_with_retry(bench_inference))
     except Exception as e:
         detail["infer_ms_fused_encoder"] = f"{type(e).__name__}: {str(e)[:120]}"
+    _save_last_good()
+
+    # beyond the flagship point: batch/graph-size sweep + serving latency
+    try:
+        detail["shapes"] = bench_shapes(
+            _naive_params, dict(dtype=jnp.bfloat16, agg_group_s=5,
+                                agg_group_t=3))
+    except Exception as e:  # noqa: BLE001
+        detail["shapes"] = f"{type(e).__name__}: {str(e)[:120]}"
     _save_last_good()
 
     try:
