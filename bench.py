@@ -280,7 +280,7 @@ def _with_retry(fn, tries=3, pause_s=10):
 
 
 def bench_train_step(n_batch, use_pallas, compute_dtype=None,
-                     agg_group=(None, None), remat=False):
+                     agg_group=(None, None), remat=False, pair_flat=False):
     """Full training step on the flagship model: 2 train-mode forwards
     (inverse-sequence training) + backward + Adam, via the real engine
     step (reference hot loop: engine/prediction.py:215-304)."""
@@ -296,7 +296,8 @@ def bench_train_step(n_batch, use_pallas, compute_dtype=None,
                     layout="h36m", use_pallas=use_pallas,
                     compute_dtype=compute_dtype,
                     agg_group_spatial=agg_group[0],
-                    agg_group_temporal=agg_group[1], remat=remat)
+                    agg_group_temporal=agg_group[1], remat=remat,
+                    pair_flat=pair_flat)
     cfg = dict(learn=dict(opt="adam", lr=3e-3, weight_decay=0, gamma=0.96,
                           step_size=5),
                loss=dict(joint=["jl2", 1]), n_out=1, transform="tsc",

@@ -103,18 +103,23 @@ def _spatial_stage(x2, nb, tp, vp, jmask, ks, red, dot, opt,
     co = x2.shape[-1]       # chain: constant channel width
     alpha = alpha_ref[0, 0, 0]
     ab = opt.get("ablate")
+    dot_p = _dot_fn(jnp.bfloat16) if opt.get("proj_bf16") else dot
+    agg_dg = opt.get("agg_dg")
 
     # ---- feature projection(s)
     if opt.get("merge_wf") and ks > 1:
-        # wf_ref here is the host-merged (1, C, K*C) panel
-        xf_all = dot(x2, wf_ref[0]) + bf_ref[0]
+        # wf_ref here is the host-merged (1, C, K*C) panel: ONE full-lane
+        # (128-wide) matmul, then lane slices per kernel (no 4D swap — the
+        # swap formulation crashes the Mosaic compiler)
+        xf_all = dot_p(x2, wf_ref[0]) + bf_ref[0]
         xf_all = xf_all * jmask
-        xf4 = xf_all.reshape(nb * tp, vp, ks, co)
-        xf_cat = jnp.swapaxes(xf4, 1, 2).reshape(nb * tp, ks * vp, co)
+        xfs = [xf_all[:, k * co:(k + 1) * co].reshape(nb * tp, vp, co)
+               for k in range(ks)]
+        xf_cat = jnp.concatenate(xfs, axis=1)
     else:
         xfs = []
         for k in range(ks):
-            xf = dot(x2, wf_ref[0, k]) + bf_ref[0, k]
+            xf = dot_p(x2, wf_ref[0, k]) + bf_ref[0, k]
             xfs.append((xf * jmask).reshape(nb * tp, vp, co))
         xf_cat = xfs[0] if ks == 1 else jnp.concatenate(xfs, axis=1)
 
@@ -149,18 +154,30 @@ def _spatial_stage(x2, nb, tp, vp, jmask, ks, red, dot, opt,
                 dyn = d if dyn is None else dyn + d
             adj = dyn.reshape(nb, vp, vp, tp)
             adj = (adj + brm_ref[0, k]) * alpha + base_ref[0, k][None]
-            adj = jnp.swapaxes(jnp.swapaxes(adj, 2, 3), 1, 2)  # (nb,tp,a,b)
-            adjs.append(adj.reshape(nb * tp, vp, vp))
+            if agg_dg:
+                adjs.append(adj)                    # stay (nb, a, b, tp)
+            else:
+                adj = jnp.swapaxes(jnp.swapaxes(adj, 2, 3), 1, 2)
+                adjs.append(adj.reshape(nb * tp, vp, vp))
 
     # ---- aggregation
+    if agg_dg:
+        # direct dot_general: batch dims (nb, t) referenced in place — no
+        # adjacency re-batch transposes.  adj (nb, a=w, b=v, t) contracts v
+        # against xf (nb, t, v, c); out (nb, t, w, c).
+        assert ab is None, "agg_dg not combined with ablations"
+        out4 = None
+        for k in range(ks):
+            xf4 = xfs[k].reshape(nb, tp, vp, co)
+            o = dot(adjs[k], xf4, (((2,), (2,)), ((0, 3), (0, 1))))
+            out4 = o if out4 is None else out4 + o  # (nb, t, w, c)
+        return out4.reshape(nb * tp * vp, co) * jmask
     gs = (opt.get("gagg") or (None, None))[0]
     if gs:
         adj_cat = jnp.concatenate([_block_diag(a, gs) for a in adjs], axis=2) \
             if ks > 1 else _block_diag(adjs[0], gs)
-        xf_g = xf_cat.reshape(nb * tp, ks, vp, co)
-        xf_g = jnp.swapaxes(xf_g, 0, 1).reshape(ks, nb * tp // gs, gs * vp,
-                                                co)
-        xf_cat2 = jnp.concatenate(list(xf_g), axis=1) if ks > 1 else xf_g[0]
+        xf_g = [xf.reshape(nb * tp // gs, gs * vp, co) for xf in xfs]
+        xf_cat2 = jnp.concatenate(xf_g, axis=1) if ks > 1 else xf_g[0]
         out = dot(adj_cat, xf_cat2, (((2,), (1,)), ((0,), (0,))))
         out = out.reshape(nb * tp * vp, co)
     else:
@@ -176,15 +193,21 @@ def _temporal_stage(x2, nb, tp, vp, jmask, kt, red, dot, opt,
     co = x2.shape[-1]
     alpha = alpha_ref[0, 0, 0]
     ab = opt.get("ablate")
+    dot_p = _dot_fn(jnp.bfloat16) if opt.get("proj_bf16") else dot
+    agg_dg = opt.get("agg_dg")
 
-    xfs = []
+    xfs, xf4s = [], []
     for k in range(kt):
-        xf = dot(x2, wf_ref[0, k]) + bf_ref[0, k]
+        xf = dot_p(x2, wf_ref[0, k]) + bf_ref[0, k]
         xf = xf * jmask
+        if agg_dg:
+            xf4s.append(xf.reshape(nb, tp, vp, co))
+            continue
         xf_v = jnp.swapaxes(xf.reshape(nb, tp, vp, co), 1, 2) \
             .reshape(nb * vp, tp, co)
         xfs.append(xf_v)
-    xf_cat = xfs[0] if kt == 1 else jnp.concatenate(xfs, axis=1)
+    xf_cat = None if agg_dg else (xfs[0] if kt == 1
+                                  else jnp.concatenate(xfs, axis=1))
 
     if ab == "projonly":
         out_v = xf_cat.reshape(nb * vp, kt, tp, co).sum(axis=1)
@@ -215,10 +238,23 @@ def _temporal_stage(x2, nb, tp, vp, jmask, kt, red, dot, opt,
                 dyn = d if dyn is None else dyn + d
             adj = dyn.reshape(nb, tp, tp, vp)
             adj = (adj + brm_ref[0, k]) * alpha + base_ref[0, k][None]
+            if agg_dg:
+                adjs.append(adj)                 # stay (nb, t, u, vp)
+                continue
             adj = jnp.swapaxes(jnp.swapaxes(adj, 2, 3), 1, 2)
             adj_v = adj.reshape(nb * vp, tp, tp)
             adj_v = jnp.swapaxes(adj_v, 1, 2)   # agg=right
             adjs.append(adj_v)
+    if agg_dg:
+        assert ab is None
+        out4 = None
+        for k in range(kt):
+            # contract source frames t in place: batch (nb, v); the only
+            # remaining relayout is the (nb, v, u, c) -> (nb, u, v, c) swap
+            o = dot(adjs[k], xf4s[k], (((1,), (1,)), ((0, 3), (0, 2))))
+            out4 = o if out4 is None else out4 + o
+        out = jnp.swapaxes(out4, 1, 2)           # (nb, u, v, c)
+        return out.reshape(nb * tp * vp, co) * jmask
     adj_cat = adjs[0] if kt == 1 else jnp.concatenate(adjs, axis=2)
 
     gt = (opt.get("gagg") or (None, None))[1]
@@ -257,14 +293,16 @@ def _variant_kernel(x_ref, sb, sa, swf, sbf, swqk, sbqk, swrm, sbrm,
 
 
 def chain_variant(x, blocks_params, *, nb=4, pad_t=True, merge_wf=False,
-                  gagg=None, ablate=None, dtype=None):
+                  gagg=None, ablate=None, dtype=None, proj_bf16=False,
+                  agg_dg=False, dimsem=None):
     """Parameterized whole-chain kernel (forward only, timing use)."""
     n, t, v, cin = x.shape
     vp = -(-v // 8) * 8
     tp = -(-t // 8) * 8 if pad_t else t
     sp0, tp0 = blocks_params[0]
     ks, kt, red = sp0[2].shape[0], tp0[2].shape[0], sp0[4].shape[-1]
-    opt = dict(merge_wf=merge_wf, gagg=gagg, ablate=ablate, dtype=dtype)
+    opt = dict(merge_wf=merge_wf, gagg=gagg, ablate=ablate, dtype=dtype,
+               proj_bf16=proj_bf16, agg_dg=agg_dg)
 
     def prep_s(s):
         base, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm = s
@@ -314,11 +352,60 @@ def chain_variant(x, blocks_params, *, nb=4, pad_t=True, merge_wf=False,
         out_specs=pl.BlockSpec((nb, tp, vp, cin), lambda i, b: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=dimsem or ("arbitrary", "arbitrary"),
             vmem_limit_bytes=_vmem_limit()),
         interpret=INTERPRET,
     )(x_p, *s_args, *t_args)
     return out[:, :t, :v, :]
+
+
+def run_chain2(args):
+    """Second-wave chain variants from the first-wave attribution: the
+    5.65 ms (nb4) chain splits into pipeline 0.47 / projections 1.85 /
+    score+mix+relayout ~2.2 / aggregation 0.61 / qk 0.08.  Targets:
+    projection MXU rate (proj_bf16, merge_wf via lane slices), the
+    adjacency re-batch transposes (agg_dg: in-place dot_general batch
+    dims), and grid pipelining (dimsem parallel over samples)."""
+    n, t, v, c, blocks = 128, 35, 22, 64, 7
+    rng = np.random.RandomState(0)
+    params = bench._naive_params(rng, blocks, c, t, v)
+    cb = bench._chain_blocks(params)
+    x = jnp.asarray(rng.randn(n, t, v, c).astype(np.float32))
+    want = np.asarray(bench.stacked_forward(params, x))
+    ref = float(np.abs(want).max())
+
+    def check(name, fn):
+        try:
+            got = np.asarray(jax.jit(fn)(x))
+        except Exception as e:  # noqa: BLE001
+            emit(f"check_{name}", None,
+                 error=f"{type(e).__name__}: {str(e)[:160]}")
+            return False
+        err = float(np.abs(got - want).max()) / max(ref, 1.0)
+        emit(f"check_{name}", err, unit="rel_err")
+        return err < 2e-2
+
+    variants = [
+        ("c2_dimsem_par", dict(nb=4, dimsem=("parallel", "arbitrary"))),
+        ("c2_projbf16", dict(nb=4, proj_bf16=True)),
+        ("c2_aggdg", dict(nb=4, agg_dg=True)),
+        ("c2_mwf_slice", dict(nb=4, merge_wf=True)),
+        ("c2_projbf16_aggdg", dict(nb=4, proj_bf16=True, agg_dg=True)),
+        ("c2_projbf16_aggdg_mwf",
+         dict(nb=4, proj_bf16=True, agg_dg=True, merge_wf=True)),
+        ("c2_projbf16_aggdg_par",
+         dict(nb=4, proj_bf16=True, agg_dg=True,
+              dimsem=("parallel", "arbitrary"))),
+        ("c2_aggdg_nb8", dict(nb=8, agg_dg=True)),
+    ]
+    for name, kw in variants:
+        fn = lambda xx, _kw=kw: chain_variant(xx, cb, **_kw)
+        if check(name, fn):
+            measure(name, fn, x)
+    measure("c2_xla_bd_bf16",
+            lambda xx: bench.stacked_forward(params, xx, dtype=jnp.bfloat16,
+                                             agg_group_s=5, agg_group_t=3),
+            x)
 
 
 def run_chain(args):
@@ -343,34 +430,33 @@ def run_chain(args):
         emit(f"check_{name}", err, unit="rel_err")
         return err < 2e-2
 
+    # NOTE pad_t=False measured 9.04 ms vs 5.58 padded (nopadT_nb4): the
+    # T=35 lane dims force slow Mosaic transposes — keep the T pad.  All
+    # structural variants therefore run on the padded base.
     variants = [
         ("chain_v0_nb4", dict(nb=4)),                       # shipping ctrl
-        ("chain_nopadT_nb4", dict(nb=4, pad_t=False)),
-        ("chain_nopadT_nb8", dict(nb=8, pad_t=False)),
-        ("chain_nopadT_nb16", dict(nb=16, pad_t=False)),
-        ("chain_nopadT_mwf_nb4", dict(nb=4, pad_t=False, merge_wf=True)),
-        ("chain_nopadT_gagg_nb4", dict(nb=4, pad_t=False, gagg=(5, 3))),
-        ("chain_nopadT_mwf_gagg_nb4",
-         dict(nb=4, pad_t=False, merge_wf=True, gagg=(5, 3))),
-        ("chain_nopadT_mwf_gagg_nb8",
-         dict(nb=8, pad_t=False, merge_wf=True, gagg=(5, 3))),
+        ("chain_nopadT_nb4", dict(nb=4, pad_t=False)),      # for the record
+        ("chain_nb8", dict(nb=8)),
+        ("chain_nb16", dict(nb=16)),
+        ("chain_mwf_nb4", dict(nb=4, merge_wf=True)),
+        ("chain_gagg_nb4", dict(nb=4, gagg=(5, 3))),
+        ("chain_mwf_gagg_nb4", dict(nb=4, merge_wf=True, gagg=(5, 3))),
+        ("chain_mwf_gagg_nb8", dict(nb=8, merge_wf=True, gagg=(5, 3))),
     ]
     for name, kw in variants:
         fn = lambda xx, _kw=kw: chain_variant(xx, cb, **_kw)
         if check(name, fn):
             measure(name, fn, x)
 
-    # ablations on the nopadT nb4 base
+    # ablations on the shipping (padded) nb4 base
     for ab in ("copy", "projonly", "noqk", "nodyn", "notanh"):
-        fn = lambda xx, _ab=ab: chain_variant(xx, cb, nb=4, pad_t=False,
-                                              ablate=_ab)
+        fn = lambda xx, _ab=ab: chain_variant(xx, cb, nb=4, ablate=_ab)
         measure(f"chain_ablate_{ab}", fn, x)
 
     # bf16 dots on the best structural variant
-    for name, kw in [("chain_nopadT_bf16_nb4",
-                      dict(nb=4, pad_t=False, dtype=jnp.bfloat16)),
-                     ("chain_nopadT_mwf_gagg_bf16_nb4",
-                      dict(nb=4, pad_t=False, merge_wf=True, gagg=(5, 3),
+    for name, kw in [("chain_bf16_nb4", dict(nb=4, dtype=jnp.bfloat16)),
+                     ("chain_mwf_gagg_bf16_nb4",
+                      dict(nb=4, merge_wf=True, gagg=(5, 3),
                            dtype=jnp.bfloat16))]:
         fn = lambda xx, _kw=kw: chain_variant(xx, cb, **_kw)
         if check(name, fn):
@@ -452,15 +538,50 @@ def run_train(args):
         measure(name, fwd, x0)
 
 
+def run_train2(args):
+    """Second wave: hybrid Pallas-spatial forward inside the REAL train
+    step, with the oracle (XLA) backward instead of the hand-written Pallas
+    backward (DSTDGCN_PALLAS_BWD=0) — isolates whether the r3 Pallas-train
+    regression (67 ms) is the backward kernel or the forward."""
+    rows = [
+        ("train_bf16_gagg_flat", "1",
+         dict(use_pallas=False, compute_dtype="bfloat16",
+              agg_group=(5, 3), pair_flat=True)),
+        ("train_bf16_gagg_flatS", "1",
+         dict(use_pallas=False, compute_dtype="bfloat16",
+              agg_group=(5, 3), pair_flat="spatial")),
+        ("train_f32_flat", "1", dict(use_pallas=False, pair_flat=True)),
+        ("train_pallasS_bf16_gt3", "0",
+         dict(use_pallas="spatial", compute_dtype="bfloat16",
+              agg_group=(None, 3))),
+        ("train_pallas_both_oraclebwd", "0", dict(use_pallas=True)),
+    ]
+    for name, pbwd, kw in rows:
+        os.environ["DSTDGCN_PALLAS_BWD"] = pbwd
+        try:
+            sec = bench._with_retry(lambda _kw=kw:
+                                    bench.bench_train_step(128, **_kw))
+            emit(name, round(sec * 1e3, 3), unit="ms", pallas_bwd=pbwd)
+        except Exception as e:  # noqa: BLE001
+            emit(name, None, error=f"{type(e).__name__}: {str(e)[:200]}")
+        finally:
+            os.environ.pop("DSTDGCN_PALLAS_BWD", None)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["chain", "train", "all"])
+    ap.add_argument("cmd", choices=["chain", "chain2", "train", "train2",
+                                    "all"])
     args = ap.parse_args()
     emit("device", str(jax.devices()[0]))
     if args.cmd in ("chain", "all"):
         run_chain(args)
+    if args.cmd == "chain2":
+        run_chain2(args)
     if args.cmd in ("train", "all"):
         run_train(args)
+    if args.cmd == "train2":
+        run_train2(args)
 
 
 if __name__ == "__main__":
