@@ -644,6 +644,11 @@ def main():
         ("train_step_ms_b128", 128, dict(use_pallas=False)),
         ("train_step_ms_b128_bd_bf16", 128,
          dict(use_pallas=False, compute_dtype="bfloat16", agg_group=(5, 3))),
+        # the shipped tuned profile (dstdgcn_h36m_tpu.yaml): + flat score
+        # layout, which keeps the backward's score cotangents lane-packed
+        ("train_step_ms_b128_bd_bf16_flat", 128,
+         dict(use_pallas=False, compute_dtype="bfloat16", agg_group=(5, 3),
+              pair_flat=True)),
         ("train_step_ms_b128_pallas", 128, dict(use_pallas=True)),
     )
     best_train = None

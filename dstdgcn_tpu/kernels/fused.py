@@ -379,6 +379,38 @@ dstd_temporal = _make_op(_temporal_kernel, _prep_temporal, True,
 # wrm rows/cols kill padded source frames/joints in the mixing (same
 # construction the per-op kernels use, golden-tested vs the oracle chain).
 #
+# Round-4 attribution (scripts/probe.py chain/chain2/chain3, flagship
+# shape N=128 T=35 V=22 C=64 B=7, nb=4, f32): total 5.65 ms =
+#   0.47 grid/DMA pipeline floor (copy-only kernel)
+#   1.85 feature projections ((3840,64)@(64,64) x3/block — 64-lane
+#        underfill; ~9.4 TF/s achieved)
+#   0.08 q/k projections
+#   2.22 pairwise scores + frame/joint mixing + adjacency relayouts
+#        (0.42 of it tanh; the rest VPU broadcasts + two lane<->sublane
+#        transposes per op)
+#   0.61 aggregation (batched (24,48)@(48,64) tiny-GEMMs)
+# plus ~0.4 unattributed overlap loss.  Every structural fix tried either
+# does not help or is rejected by the current Mosaic toolchain:
+#   * no-T-padding (35 instead of 40): 9.04 ms — 35-lane transposes hit
+#     slow paths; keep every dim a sublane multiple;
+#   * larger sample blocks nb=8/16: 6.6/6.1 ms (VMEM pressure beats the
+#     program-overhead amortization); nb=1/2 measured in probe chain3;
+#   * merged (C, K*C) feature panel (one full-128-lane matmul + lane
+#     slices or a 4D swap): deterministic tpu_compile_helper crash;
+#   * in-kernel block-diagonal grouped aggregation (the XLA-path winner):
+#     deterministic compiler crash (5-D eye-broadcast formulation);
+#   * direct dot_general aggregation with in-place batch dims (kills all
+#     adjacency re-batch transposes): 'tpu.matmul' Not implemented;
+#   * bf16 dot inputs anywhere (whole kernel +1.1 ms, projections-only
+#     +0.04 ms): the f32->bf16 (8,128)->(16,128) relayout per operand
+#     exceeds the MXU rate win at these tiny matmul shapes — the same
+#     result as round 3, now isolated to the cast itself;
+#   * "parallel" dimension semantics on the sample axis: no change.
+# Conclusion: the chain kernel is within ~8%% of XLA's fused pipeline on
+# this shape and toolchain-walled there; the XLA formulation (bf16 +
+# grouped aggregation) remains the shipped default, and the chain kernel
+# remains the VMEM-residency option for memory-pressured serving.
+#
 # Mosaic structure (round 3): the block loop lives in the GRID, not in the
 # kernel body.  grid = (N/nb, B) with the block index b as the minor
 # (fastest) dimension; per-block weights are streamed by BlockSpec index

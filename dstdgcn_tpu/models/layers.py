@@ -133,7 +133,12 @@ class DSTDGC(nn.Module):
     red_channels: int = 2
     mode: str = "spatial"
     agg: str = "right"      # "right"=qualitative, "left"=fast variant
-    use_pallas: Union[bool, str] = False  # True | 'spatial' | 'temporal'
+    #: False | True | 'spatial' | 'temporal' | 'serving'.  'serving' routes
+    #: the fused kernels only when NOT training: Pallas-in-training is a
+    #: measured structural regression on v5e (the custom_vjp forward pays
+    #: the per-op grid pipeline AND the backward replays the oracle —
+    #: probe r4: 67-88 ms vs 40 ms XLA at batch 128)
+    use_pallas: Union[bool, str] = False
     compute_dtype: Optional[str] = None   # e.g. "bfloat16" (f32 accum)
     #: flat (P*P)-lane score layout (ops.dstd): True/False for both ops or
     #: 'spatial'/'temporal' for one side ('spatial' is the measured v5e win)
@@ -150,7 +155,8 @@ class DSTDGC(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, base_adj: Array, alpha: Array,
-                 mask: Optional[Array] = None) -> Array:
+                 mask: Optional[Array] = None, *,
+                 train: bool = False) -> Array:
         assert self.mode in ("spatial", "temporal")
         k, cin = self.num_kernels, x.shape[-1]
         co, r, ref = self.out_channels, self.red_channels, self.ref_len
@@ -166,19 +172,23 @@ class DSTDGC(nn.Module):
 
         args = (x, base_adj, alpha, wf, bf, wm1, bm1, wm2, bm2, wrm, brm,
                 mask)
-        for knob, val in (("use_pallas", self.use_pallas),
-                          ("pair_flat", self.pair_flat)):
-            if val not in (True, False, "spatial", "temporal"):
-                raise ValueError(
-                    f"{knob}={val!r}: expected True, False, 'spatial' or "
-                    "'temporal' (a typo would otherwise silently select "
-                    "the default path)")
+        if self.use_pallas not in (True, False, "spatial", "temporal",
+                                   "serving"):
+            raise ValueError(
+                f"use_pallas={self.use_pallas!r}: expected True, False, "
+                "'spatial', 'temporal' or 'serving' (a typo would "
+                "otherwise silently select the default path)")
+        if self.pair_flat not in (True, False, "spatial", "temporal"):
+            raise ValueError(
+                f"pair_flat={self.pair_flat!r}: expected True, False, "
+                "'spatial' or 'temporal'")
         # use_pallas: True routes both ops through the fused kernels;
-        # "spatial" routes only the spatial op (the measured win on v5e —
-        # the fused temporal op is pipeline-bound and loses to XLA, see
-        # scripts/archive/probe_mosaic12/13)
-        use_pallas = self.use_pallas and (self.use_pallas is True
-                                          or self.use_pallas == self.mode)
+        # "spatial" routes only the spatial op; "serving" routes both ops
+        # but ONLY outside training (see the attribute docstring)
+        use_pallas = self.use_pallas and (
+            self.use_pallas is True
+            or self.use_pallas == self.mode
+            or (self.use_pallas == "serving" and not train))
         dtype = (None if self.compute_dtype is None
                  else jnp.dtype(self.compute_dtype))
         if use_pallas:
@@ -276,7 +286,7 @@ class DSTDGCB(nn.Module):
                    pair_flat=self.pair_flat,
                    agg_group=self.agg_group_spatial,
                    remat=self.remat,
-                   name="spatial")(x, base_s, alpha_sm)
+                   name="spatial")(x, base_s, alpha_sm, train=train)
         y = JointBatchNorm(axis_name=self.bn_axis_name, dtype=act_dtype,
                            name="bn")(y, train=train)
         y = y + res
@@ -288,7 +298,7 @@ class DSTDGCB(nn.Module):
                    pair_flat=self.pair_flat,
                    agg_group=self.agg_group_temporal,
                    remat=self.remat,
-                   name="temporal")(y, base_t, alpha_tm)
+                   name="temporal")(y, base_t, alpha_tm, train=train)
         return z
 
 

@@ -408,6 +408,141 @@ def run_chain2(args):
             x)
 
 
+def run_chain3(args):
+    """Final chain wave: tiny sample blocks (deeper grid pipeline), plus an
+    XLA-side agg_group sweep and a batch-256 scaling point."""
+    n, t, v, c, blocks = 128, 35, 22, 64, 7
+    rng = np.random.RandomState(0)
+    params = bench._naive_params(rng, blocks, c, t, v)
+    cb = bench._chain_blocks(params)
+    x = jnp.asarray(rng.randn(n, t, v, c).astype(np.float32))
+
+    for name, kw in [("c3_chain_nb2", dict(nb=2)),
+                     ("c3_chain_nb1", dict(nb=1))]:
+        fn = lambda xx, _kw=kw: chain_variant(xx, cb, **_kw)
+        measure(name, fn, x)
+
+    for gs, gt in [(7, 3), (5, 4), (7, 4), (5, 2), (5, 6)]:
+        measure(f"c3_xla_bf16_g{gs}_{gt}",
+                lambda xx, _g=(gs, gt): bench.stacked_forward(
+                    params, xx, dtype=jnp.bfloat16, agg_group_s=_g[0],
+                    agg_group_t=_g[1]), x)
+    measure("c3_xla_bf16_g53_flatT",
+            lambda xx: bench.stacked_forward(
+                params, xx, dtype=jnp.bfloat16, pair_flat="temporal",
+                agg_group_s=5, agg_group_t=3), x)
+    x256 = jnp.asarray(rng.randn(256, t, v, c).astype(np.float32))
+    sec = measure("c3_xla_bf16_g53_n256",
+                  lambda xx: bench.stacked_forward(
+                      params, xx, dtype=jnp.bfloat16, agg_group_s=5,
+                      agg_group_t=3), x256)
+    if sec:
+        emit("c3_edges_per_s_n256",
+             round(bench._edges_per_forward(256, t, v, blocks) / sec, 1))
+
+
+def run_train3(args):
+    """Fused-inverse experiment: run BOTH inverse-training directions in
+    ONE model call (batch 2N).  Changes BatchNorm train-mode statistics
+    (joint over both directions instead of sequential per-direction) —
+    measured here to decide whether it is worth shipping as an opt-in
+    knob.  Reference semantics: prediction.py:267-287 (two sequential
+    calls)."""
+    import optax
+
+    from dstdgcn_tpu.models import DSTDGCN
+
+    model = DSTDGCN(input_channels=6, input_time_frame=10,
+                    output_time_frame=25, st_gcnn_dropout=0.1,
+                    joints_to_consider=22, num_feature=64, num_layers=5,
+                    layout="h36m", compute_dtype="bfloat16",
+                    agg_group_spatial=5, agg_group_temporal=3,
+                    pair_flat=True)
+    rng = np.random.RandomState(0)
+    n = 128
+    x = jnp.asarray(rng.randn(n, 35, 22, 3), jnp.float32)
+    x_inv = x[:, ::-1]
+    tgt = jnp.asarray(rng.randn(n, 35, 22, 3), jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x[:1], train=True)
+    params, stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, st, key):
+        xx = jnp.concatenate([x, x_inv], axis=0)
+        out, mut = model.apply({"params": p, "batch_stats": st}, xx,
+                               train=True, rngs={"dropout": key},
+                               mutable=["batch_stats"])
+        o_f, o_i = out[:n], out[n:]
+        l_f = jnp.mean(jnp.linalg.norm(o_f - tgt, axis=-1))
+        l_i = jnp.mean(jnp.linalg.norm(o_i - tgt[:, ::-1], axis=-1))
+        return (l_f + l_i) / 2, mut["batch_stats"]
+
+    @jax.jit
+    def step(carry, i):
+        p, st, os_, key = carry
+        key, sub = jax.random.split(key)
+        (l, st2), g = jax.value_and_grad(loss_fn, has_aux=True)(p, st, sub)
+        up, os2 = tx.update(g, os_, p)
+        return (optax.apply_updates(p, up), st2, os2, key), l
+
+    def run(iters):
+        def f(carry):
+            return jax.lax.fori_loop(
+                0, iters, lambda i, c: step(c, i)[0], carry)
+        jf = jax.jit(f)
+        c0 = (params, stats, opt_state, jax.random.key(1))
+        jax.block_until_ready(jf(c0))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            jax.block_until_ready(jf(c0))
+            best = min(best, time.time() - t0)
+        return best
+
+    try:
+        sec = max((run(13) - run(3)) / 10, 1e-9)
+        emit("train_concat_inverse_bf16_gagg_flat", round(sec * 1e3, 3),
+             unit="ms")
+    except Exception as e:  # noqa: BLE001
+        emit("train_concat_inverse_bf16_gagg_flat", None,
+             error=f"{type(e).__name__}: {str(e)[:200]}")
+
+
+def run_chain4(args):
+    """Zoom on the agg_group minimum found by chain3 (g_t=2 beat g_t=3 by
+    11%) + train rows at the winner."""
+    n, t, v, c, blocks = 128, 35, 22, 64, 7
+    rng = np.random.RandomState(0)
+    params = bench._naive_params(rng, blocks, c, t, v)
+    x = jnp.asarray(rng.randn(n, t, v, c).astype(np.float32))
+
+    for gs, gt in [(5, 2), (5, 1), (1, 2), (1, 1), (5, 11)]:
+        measure(f"c4_xla_bf16_g{gs}_{gt}",
+                lambda xx, _g=(gs, gt): bench.stacked_forward(
+                    params, xx, dtype=jnp.bfloat16,
+                    agg_group_s=None if _g[0] == 1 else _g[0],
+                    agg_group_t=None if _g[1] == 1 else _g[1]), x)
+    measure("c4_xla_bf16_g52_flatS",
+            lambda xx: bench.stacked_forward(
+                params, xx, dtype=jnp.bfloat16, pair_flat="spatial",
+                agg_group_s=5, agg_group_t=2), x)
+
+    for name, pf, g in [
+        ("train_bf16_g52_flat", True, (5, 2)),
+        ("train_bf16_g52", False, (5, 2)),
+        ("train_bf16_g51_flat", True, (5, None)),
+    ]:
+        try:
+            sec = bench._with_retry(
+                lambda _pf=pf, _g=g: bench.bench_train_step(
+                    128, use_pallas=False, compute_dtype="bfloat16",
+                    agg_group=_g, pair_flat=_pf))
+            emit(name, round(sec * 1e3, 3), unit="ms")
+        except Exception as e:  # noqa: BLE001
+            emit(name, None, error=f"{type(e).__name__}: {str(e)[:200]}")
+
+
 def run_chain(args):
     n, t, v, c, blocks = 128, 35, 22, 64, 7
     rng = np.random.RandomState(0)
@@ -570,18 +705,24 @@ def run_train2(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["chain", "chain2", "train", "train2",
-                                    "all"])
+    ap.add_argument("cmd", choices=["chain", "chain2", "chain3", "chain4",
+                                    "train", "train2", "train3", "all"])
     args = ap.parse_args()
     emit("device", str(jax.devices()[0]))
     if args.cmd in ("chain", "all"):
         run_chain(args)
     if args.cmd == "chain2":
         run_chain2(args)
+    if args.cmd == "chain3":
+        run_chain3(args)
+    if args.cmd == "chain4":
+        run_chain4(args)
     if args.cmd in ("train", "all"):
         run_train(args)
     if args.cmd == "train2":
         run_train2(args)
+    if args.cmd == "train3":
+        run_train3(args)
 
 
 if __name__ == "__main__":

@@ -262,6 +262,36 @@ def test_remat_matches_no_remat(use_pallas):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_use_pallas_serving_mode():
+    """use_pallas='serving' routes the fused kernels in eval but the XLA
+    formulation in training (Pallas-in-training is a measured structural
+    regression on v5e); outputs match the baseline in both modes."""
+    from dstdgcn_tpu.models import DSTDGCN
+
+    cfg = dict(input_channels=6, input_time_frame=4, output_time_frame=4,
+               st_gcnn_dropout=0.0, joints_to_consider=22, num_feature=8,
+               num_layers=1, layout="h36m")
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 8, 22, 3), jnp.float32)
+    m0 = DSTDGCN(**cfg)
+    ms = DSTDGCN(**cfg, use_pallas="serving")
+    variables = m0.init({"params": jax.random.key(0)}, x, train=False)
+    y0 = np.asarray(m0.apply(variables, x, train=False))
+    ys = np.asarray(ms.apply(variables, x, train=False))
+    assert np.abs(ys - y0).max() < 1e-3 * max(np.abs(y0).max(), 1.0)
+
+    def loss(m, params):
+        out, _ = m.apply(variables | {"params": params}, x, train=True,
+                         mutable=["batch_stats"])
+        return jnp.sum(out ** 2)
+
+    g0 = jax.grad(lambda p: loss(m0, p))(variables["params"])
+    gs = jax.grad(lambda p: loss(ms, p))(variables["params"])
+    # train path is exactly the XLA formulation -> bitwise-equal grads
+    for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(g0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_model_remat_knob_matches_baseline():
     """The model-level remat knob (plumbed through STGCNNLayer/DSTDGCB) is
     a pure gradient-checkpointing choice: train-mode loss and parameter
