@@ -349,7 +349,7 @@ def bench_inference(n_batch=128):
               num_layers=5, layout="h36m")
     model = DSTDGCN(**mk)
     model_bd16 = DSTDGCN(**mk, compute_dtype="bfloat16",
-                         agg_group_spatial=5, agg_group_temporal=3)
+                         agg_group_spatial=5, agg_group_temporal=2)
     rng = np.random.RandomState(0)
     x0 = jnp.asarray(rng.randn(n_batch, 35, 22, 3), jnp.float32)
     variables = model.init({"params": jax.random.key(0)}, x0[:1],
@@ -403,14 +403,14 @@ def tether_check(params, x_ntvc):
     mod_s = DSTDGC(out_channels=c, ref_len=t, num_kernels=2, mode="spatial",
                    agg_group=5, compute_dtype="bfloat16")
     mod_t = DSTDGC(out_channels=c, ref_len=v, num_kernels=1, mode="temporal",
-                   agg_group=3, compute_dtype="bfloat16")
+                   agg_group=2, compute_dtype="bfloat16")
     vars_s = {"params": {n_: p[f"{n_}_s"] for n_ in names}}
     vars_t = {"params": {n_: p[f"{n_}_t"] for n_ in names}}
     y = mod_s.apply(vars_s, x_ntvc, p["base_s"], p["alpha_s"])
     y = mod_t.apply(vars_t, y, p["base_t"], p["alpha_t"])
     y = y.astype(jnp.float32)
     want = stacked_forward(params[:1], x_ntvc, dtype=jnp.bfloat16,
-                           agg_group_s=5, agg_group_t=3)
+                           agg_group_s=5, agg_group_t=2)
     y, want = np.asarray(y), np.asarray(want)
     return float(np.abs(y - want).max() / max(np.abs(want).max(), 1e-6))
 
@@ -559,6 +559,13 @@ def main():
         "step_ms_xla_bd_bf16",
         lambda xx: stacked_forward(params, xx, dtype=jnp.bfloat16,
                                    agg_group_s=5, agg_group_t=3), x_ntvc)
+    # the r4-swept aggregation grouping (5 frames / 2 joints): block-diag
+    # FLOP waste scales with g, so the smallest group that amortizes the
+    # MXU weight load wins — the shipped tuned-config knobs
+    candidates["xla_bd_bf16_g52"] = measure(
+        "step_ms_xla_bd_bf16_g52",
+        lambda xx: stacked_forward(params, xx, dtype=jnp.bfloat16,
+                                   agg_group_s=5, agg_group_t=2), x_ntvc)
     candidates["xla_flat_bd_bf16"] = measure(
         "step_ms_xla_flat_bd_bf16",
         lambda xx: stacked_forward(params, xx, dtype=jnp.bfloat16,
@@ -644,11 +651,10 @@ def main():
         ("train_step_ms_b128", 128, dict(use_pallas=False)),
         ("train_step_ms_b128_bd_bf16", 128,
          dict(use_pallas=False, compute_dtype="bfloat16", agg_group=(5, 3))),
-        # the shipped tuned profile (dstdgcn_h36m_tpu.yaml): + flat score
-        # layout, which keeps the backward's score cotangents lane-packed
-        ("train_step_ms_b128_bd_bf16_flat", 128,
-         dict(use_pallas=False, compute_dtype="bfloat16", agg_group=(5, 3),
-              pair_flat=True)),
+        # the shipped tuned profile (dstdgcn_h36m_tpu.yaml) knobs
+        ("train_step_ms_b128_tuned", 128,
+         dict(use_pallas=False, compute_dtype="bfloat16",
+              agg_group=(5, 2))),
         ("train_step_ms_b128_pallas", 128, dict(use_pallas=True)),
     )
     best_train = None
@@ -678,7 +684,7 @@ def main():
     try:
         detail["shapes"] = bench_shapes(
             _naive_params, dict(dtype=jnp.bfloat16, agg_group_s=5,
-                                agg_group_t=3))
+                                agg_group_t=2))
     except Exception as e:  # noqa: BLE001
         detail["shapes"] = f"{type(e).__name__}: {str(e)[:120]}"
     _save_last_good()
