@@ -232,20 +232,24 @@ def aggregate_spatial_grouped(xf: jnp.ndarray, adj: jnp.ndarray, g: int,
     """Frame-grouped block-diagonal variant of :func:`aggregate_spatial`.
 
     xf (K,N,T,V,C), adj (K,N,T,V,V) -> (N,T,V,C); ``g`` frames are packed
-    per matmul (T % g == 0), turning the per-(n,t) V x V aggregation into
-    (g*V) x (g*V) block-diagonal matmuls that fill the MXU.
+    per matmul, turning the per-(n,t) V x V aggregation into (g*V) x (g*V)
+    block-diagonal matmuls that fill the MXU.  T is zero-padded up to a
+    multiple of ``g`` (zero adjacency blocks over zero features contribute
+    nothing; the padded frames are sliced off) — so ``g`` need not divide
+    T, e.g. g=4 on T=35.
     """
     kk, nn, tt, vv, cc = xf.shape
-    assert tt % g == 0, (tt, g)
-    xfg = _cast_dot(xf, dtype).reshape(kk, nn, tt // g, g * vv, cc)
-    bd = _block_diag_batch(_cast_dot(adj, dtype), g)   # (K,N,T/g,gV,gV)
+    tp = -(-tt // g) * g
+    xfp = _pad_axis(_cast_dot(xf, dtype), 2, tp)
+    xfg = xfp.reshape(kk, nn, tp // g, g * vv, cc)
+    bd = _block_diag_batch(_pad_axis(_cast_dot(adj, dtype), 2, tp), g)
     if agg == "right":
         out = jnp.einsum("knbvc,knbvw->nbwc", xfg, bd,
                          preferred_element_type=jnp.float32)
     else:
         out = jnp.einsum("knbvw,knbwc->nbvc", bd, xfg,
                          preferred_element_type=jnp.float32)
-    return out.reshape(nn, tt, vv, cc)
+    return out.reshape(nn, tp, vv, cc)[:, :tt]
 
 
 def aggregate_temporal_grouped(xf: jnp.ndarray, adj: jnp.ndarray, g: int,
@@ -335,7 +339,7 @@ def dstd_spatial(x: jnp.ndarray, base_adj: jnp.ndarray, alpha: jnp.ndarray,
     (V*V)-lane layout (see _dyn_adjacency_flat) and reshapes to the pair
     grid only at the aggregation boundary.
     ``agg_group=g`` aggregates via frame-grouped block-diagonal matmuls
-    (see :func:`aggregate_spatial_grouped`; requires T % g == 0).
+    (see :func:`aggregate_spatial_grouped`; T is padded to a multiple of g).
     """
     x = _constrain(x)
     nn, tt, vv = x.shape[0], x.shape[1], x.shape[2]
