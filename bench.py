@@ -583,7 +583,7 @@ def main():
             x_ntvc)
     measure("attrib_ms_temporal_only",
             lambda xx: stacked_forward(params, xx, dtype=jnp.bfloat16,
-                                       agg_group_t=3, only="temporal"),
+                                       agg_group_t=2, only="temporal"),
             x_ntvc)
     if kernels_available:
         candidates["fused_per_op"] = measure(
