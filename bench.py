@@ -415,11 +415,15 @@ def tether_check(params, x_ntvc):
     return float(np.abs(y - want).max() / max(np.abs(want).max(), 1e-6))
 
 
-def bench_shapes(make_params, best_kwargs):
+def bench_shapes(make_params, tuned_kwargs):
     """Forward chain at non-flagship shapes: large batch, CMU (V=25),
-    3DPW (V=23, T=40), and single-sequence serving latency.  Reports
-    reference-style vs our best formulation per shape (VERDICT r3 next #7).
-    ``best_kwargs``: stacked_forward kwargs of the winning variant."""
+    3DPW (V=23, T=40), and single-sequence serving latency (VERDICT r3
+    next #7).  Per shape, reference-style is compared against the best of
+    a small knob set — the knobs are static per config, so picking them
+    per deployment shape is exactly what the tuned YAML profiles do.
+    Measured r4: grouped aggregation wins at batch<=512 but LOSES at 1024
+    (block-diag FLOP waste dominates once the MXU is saturated), and
+    batch-1 serving is fastest in plain f32 (cast overhead dominates)."""
     import jax.numpy as jnp
 
     rows = []
@@ -437,15 +441,27 @@ def bench_shapes(make_params, best_kwargs):
         x = jnp.asarray(rng.randn(n, t, v, c).astype(np.float32))
         x_nctv = jnp.transpose(x, (0, 3, 1, 2))
         row = {"shape": name, "batch": n, "frames": t, "joints": v}
-        kw = dict(best_kwargs)
-        if t % (kw.get("agg_group_s") or 1) != 0:
-            kw["agg_group_s"] = None
+        tuned = dict(tuned_kwargs)
+        if t % (tuned.get("agg_group_s") or 1) != 0:
+            tuned["agg_group_s"] = None
+        candidates = {"tuned_g": tuned,
+                      "bf16": dict(dtype=jnp.bfloat16),
+                      "f32": {}}
+        i1, i2 = (10, 50) if n <= 8 else (2, 8) if n >= 512 else (5, 25)
         try:
             row["ref_ms"] = round(_with_retry(lambda: _time_slope(
                 lambda xx: naive_reference_forward(params, xx),
-                x_nctv)) * 1e3, 3)
-            row["ours_ms"] = round(_with_retry(lambda: _time_slope(
-                lambda xx: stacked_forward(params, xx, **kw), x)) * 1e3, 3)
+                x_nctv, i1, i2)) * 1e3, 3)
+            best_name, best = None, None
+            for cname, kw in candidates.items():
+                sec = _with_retry(lambda _kw=kw: _time_slope(
+                    lambda xx: stacked_forward(params, xx, **_kw), x,
+                    i1, i2))
+                row[f"ours_ms_{cname}"] = round(sec * 1e3, 3)
+                if best is None or sec < best:
+                    best_name, best = cname, sec
+            row["ours_ms"] = round(best * 1e3, 3)
+            row["ours_variant"] = best_name
             row["speedup"] = round(row["ref_ms"] / row["ours_ms"], 3)
         except Exception as e:  # noqa: BLE001
             row["error"] = f"{type(e).__name__}: {str(e)[:120]}"
@@ -735,7 +751,12 @@ if __name__ == "__main__":
         raise _Timeout()
 
     signal.signal(signal.SIGALRM, _on_alarm)
-    signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "1500")))
+    # default raised r4: the shapes table + per-shape variants added ~8
+    # measurements; with a warm compile cache the whole run is ~8 min, but
+    # a cold cache against a degraded compile service needs headroom
+    # (results are saved incrementally — a timeout still emits everything
+    # measured so far)
+    signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "2400")))
     try:
         main()
         signal.alarm(0)
