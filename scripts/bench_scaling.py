@@ -39,7 +39,8 @@ def weak_scaling_sweep(sizes=None, per_dev_batch=32, t=16, v=64, c=64,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from dstdgcn_tpu.parallel import make_mesh
-    from dstdgcn_tpu.parallel.shard import dstd_spatial_edge_partitioned
+    from dstdgcn_tpu.parallel.shard import (dstd_spatial_edge_partitioned,
+                                            dstd_spatial_ring)
     from dstdgcn_tpu.utils.timing import time_looped
 
     devices = jax.devices()
@@ -80,9 +81,21 @@ def weak_scaling_sweep(sizes=None, per_dev_batch=32, t=16, v=64, c=64,
 
         edges = kk * n * t * v * v
         eps = edges / dt
-        results.append({"devices": nd, "mesh": dict(mesh.shape),
-                        "batch": n, "edges_per_s": round(eps, 1),
-                        "step_ms": round(dt * 1e3, 3)})
+        row = {"devices": nd, "mesh": dict(mesh.shape),
+               "batch": n, "edges_per_s": round(eps, 1),
+               "step_ms": round(dt * 1e3, 3)}
+        if graph > 1:
+            # the explicitly overlapped schedule: ppermute rounds
+            # interleaving per-chunk compute (parallel/shard.py ring)
+            def step_ring(xx):
+                return dstd_spatial_ring(
+                    mesh, xx, base, alpha, wf, bf, wm1, bm1, wm2, bm2,
+                    wrm, brm, batch_sharded=True)
+
+            dt_ring = time_looped(step_ring, x, iters=iters)
+            row["step_ms_ring"] = round(dt_ring * 1e3, 3)
+            row["ring_vs_allgather"] = round(dt / dt_ring, 3)
+        results.append(row)
         print(json.dumps(results[-1]), flush=True)
 
     base_eps = results[0]["edges_per_s"]
