@@ -392,12 +392,18 @@ def tether_check(params, x_ntvc):
     function as the shipped module path (models.layers.DSTDGC -> ops.dstd)
     under identical weights — the headline number must be the model's op,
     not a bench-only re-implementation (VERDICT r3 weak #6).  Returns the
-    max relative error over a 1-block (spatial, temporal) chain."""
+    max relative error over a 1-block (spatial, temporal) chain.
+
+    Runs jitted on a small batch: the check is batch-size-independent (it
+    compares two formulations of the same function) and an eager
+    flagship-batch run would burn minutes of tunnel dispatches."""
+    import jax
     import jax.numpy as jnp
 
     from dstdgcn_tpu.models.layers import DSTDGC
 
     p = params[0]
+    x_ntvc = x_ntvc[:4]
     t, v, c = x_ntvc.shape[1], x_ntvc.shape[2], x_ntvc.shape[3]
     names = ["wf", "bf", "wm1", "bm1", "wm2", "bm2", "wrm", "brm"]
     mod_s = DSTDGC(out_channels=c, ref_len=t, num_kernels=2, mode="spatial",
@@ -406,12 +412,20 @@ def tether_check(params, x_ntvc):
                    agg_group=2, compute_dtype="bfloat16")
     vars_s = {"params": {n_: p[f"{n_}_s"] for n_ in names}}
     vars_t = {"params": {n_: p[f"{n_}_t"] for n_ in names}}
-    y = mod_s.apply(vars_s, x_ntvc, p["base_s"], p["alpha_s"])
-    y = mod_t.apply(vars_t, y, p["base_t"], p["alpha_t"])
-    y = y.astype(jnp.float32)
-    want = stacked_forward(params[:1], x_ntvc, dtype=jnp.bfloat16,
-                           agg_group_s=5, agg_group_t=2)
-    y, want = np.asarray(y), np.asarray(want)
+
+    @jax.jit
+    def module_path(xx):
+        y = mod_s.apply(vars_s, xx, p["base_s"], p["alpha_s"])
+        y = mod_t.apply(vars_t, y, p["base_t"], p["alpha_t"])
+        return y.astype(jnp.float32)
+
+    @jax.jit
+    def candidate_path(xx):
+        return stacked_forward(params[:1], xx, dtype=jnp.bfloat16,
+                               agg_group_s=5, agg_group_t=2)
+
+    y = np.asarray(module_path(x_ntvc))
+    want = np.asarray(candidate_path(x_ntvc))
     return float(np.abs(y - want).max() / max(np.abs(want).max(), 1e-6))
 
 
@@ -441,10 +455,9 @@ def bench_shapes(make_params, tuned_kwargs):
         x = jnp.asarray(rng.randn(n, t, v, c).astype(np.float32))
         x_nctv = jnp.transpose(x, (0, 3, 1, 2))
         row = {"shape": name, "batch": n, "frames": t, "joints": v}
-        tuned = dict(tuned_kwargs)
-        if t % (tuned.get("agg_group_s") or 1) != 0:
-            tuned["agg_group_s"] = None
-        candidates = {"tuned_g": tuned,
+        # non-divisor group sizes are handled by frame padding inside
+        # aggregate_spatial_grouped, so the tuned knobs apply at any T
+        candidates = {"tuned_g": dict(tuned_kwargs),
                       "bf16": dict(dtype=jnp.bfloat16),
                       "f32": {}}
         i1, i2 = (10, 50) if n <= 8 else (2, 8) if n >= 512 else (5, 25)

@@ -237,7 +237,8 @@ class DSTDGCB(nn.Module):
     layout: str = "h36m"
     fast: bool = False
     bn_axis_name: Optional[str] = None
-    use_pallas: Union[bool, str] = False  # True | 'spatial' | 'temporal'
+    #: False | True | 'spatial' | 'temporal' | 'serving' (see DSTDGC)
+    use_pallas: Union[bool, str] = False
     compute_dtype: Optional[str] = None
     pair_flat: Union[bool, str] = False
     agg_group_spatial: Optional[int] = None
@@ -342,7 +343,8 @@ class STGCNNLayer(nn.Module):
     layout: str = "h36m"
     fast: bool = False
     bn_axis_name: Optional[str] = None
-    use_pallas: Union[bool, str] = False  # True | 'spatial' | 'temporal'
+    #: False | True | 'spatial' | 'temporal' | 'serving' (see DSTDGC)
+    use_pallas: Union[bool, str] = False
     compute_dtype: Optional[str] = None
     pair_flat: Union[bool, str] = False
     agg_group_spatial: Optional[int] = None

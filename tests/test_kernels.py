@@ -224,6 +224,9 @@ def test_model_variant_knobs_match_baseline():
     y0 = np.asarray(m0.apply(variables, x, train=False))
     for knobs in (dict(use_pallas="spatial"),
                   dict(agg_group_spatial=4, agg_group_temporal=3),
+                  # non-divisor spatial group (T=8 % 3 != 0): exercises the
+                  # frame-padding path of aggregate_spatial_grouped
+                  dict(agg_group_spatial=3, agg_group_temporal=2),
                   dict(use_pallas="spatial", agg_group_temporal=3)):
         y1 = np.asarray(DSTDGCN(**cfg, **knobs).apply(variables, x,
                                                       train=False))
