@@ -663,7 +663,7 @@ def main():
         x_fast = jnp.asarray(rng.randn(n_fast, t, v, c).astype(np.float32))
         sec = _with_retry(lambda: _time_slope(
             lambda xx: stacked_forward(params, xx, dtype=jnp.bfloat16,
-                                       agg_group_s=5, agg_group_t=3,
+                                       agg_group_s=5, agg_group_t=2,
                                        agg="left"), x_fast, 5, 25))
         detail["fast_variant_n256_ms"] = round(sec * 1e3, 3)
         detail["fast_variant_edges_per_s"] = round(
