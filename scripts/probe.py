@@ -543,6 +543,57 @@ def run_chain4(args):
             emit(name, None, error=f"{type(e).__name__}: {str(e)[:200]}")
 
 
+def run_xattr(args):
+    """Stage attribution of the WINNING XLA formulation (bf16 + (5,2)
+    grouped aggregation): where do its 4.6 ms go?  Ablates the spatial op
+    (the 3.2 ms half) the same way the chain-kernel ablation did —
+    adjacency = base only (alpha=0 fast-path via zero wrm/alpha still
+    computes scores, so instead substitute stripped op variants)."""
+    from dstdgcn_tpu.ops import dstd as xops
+
+    n, t, v, c, blocks = 128, 35, 22, 64, 7
+    rng = np.random.RandomState(0)
+    params = bench._naive_params(rng, blocks, c, t, v)
+    x = jnp.asarray(rng.randn(n, t, v, c).astype(np.float32))
+    bf16 = jnp.bfloat16
+
+    def spatial_stripped(xx, p, stage):
+        """stage: 'projagg' (xf + base-adj aggregation), 'noscore'
+        (xf + qk proj + base-adj agg), 'full'."""
+        kk = p["wf_s"].shape[0]
+        xf = xops._cast(xops._project(xx, p["wf_s"], p["bf_s"], bf16), bf16)
+        if stage == "full":
+            dyn = xops.dyn_adjacency_spatial(
+                xx, p["wm1_s"], p["bm1_s"], p["wm2_s"], p["bm2_s"],
+                p["wrm_s"], p["brm_s"], None, bf16)
+            adj = xops._cast(dyn, bf16) * jnp.asarray(0.5, bf16) \
+                + xops._cast(p["base_s"], bf16)[:, None, None]
+        else:
+            keep = jnp.float32(0.0)
+            if stage == "noscore":
+                qk = xops._project(
+                    xx, jnp.concatenate([p["wm1_s"], p["wm2_s"]], -1),
+                    jnp.concatenate([p["bm1_s"], p["bm2_s"]], -1), bf16)
+                keep = qk[0, 0, 0, 0, 0] * 1e-30
+            adj = jnp.broadcast_to(
+                (xops._cast(p["base_s"], bf16) + keep)[:, None, None],
+                (kk, xx.shape[0], xx.shape[1], v, v))
+        return xops.aggregate_spatial_grouped(xf, adj, 5, "right", bf16) \
+            .astype(bf16)
+
+    for stage in ("projagg", "noscore", "full"):
+        def fwd(xx, _s=stage):
+            for p in params:
+                xx = spatial_stripped(xx, p, _s)
+                xx = xops.dstd_temporal(
+                    xx, p["base_t"], p["alpha_t"], p["wf_t"], p["bf_t"],
+                    p["wm1_t"], p["bm1_t"], p["wm2_t"], p["bm2_t"],
+                    p["wrm_t"], p["brm_t"], None, "right", bf16,
+                    agg_group=2)
+            return xx.astype(jnp.float32)
+        measure(f"xattr_spatial_{stage}", fwd, x)
+
+
 def run_chain(args):
     n, t, v, c, blocks = 128, 35, 22, 64, 7
     rng = np.random.RandomState(0)
@@ -706,7 +757,8 @@ def run_train2(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["chain", "chain2", "chain3", "chain4",
-                                    "train", "train2", "train3", "all"])
+                                    "xattr", "train", "train2", "train3",
+                                    "all"])
     args = ap.parse_args()
     emit("device", str(jax.devices()[0]))
     if args.cmd in ("chain", "all"):
@@ -717,6 +769,8 @@ def main():
         run_chain3(args)
     if args.cmd == "chain4":
         run_chain4(args)
+    if args.cmd == "xattr":
+        run_xattr(args)
     if args.cmd in ("train", "all"):
         run_train(args)
     if args.cmd == "train2":
