@@ -389,4 +389,6 @@ def test_lockstep_training_convergence():
         jnp.asarray(tsc(torch.from_numpy(inputs_all[0])).numpy()),
         train=False)
     ye_ours = np.asarray(ours_final).reshape(bs, t_all, vc)
+    # measured 3.0e-3 after 20 Adam steps (accumulated f32
+    # reduction-order drift); 5e-3 leaves ~1.7x headroom
     assert _rel_err(ye_ours, ye) < 5e-3
