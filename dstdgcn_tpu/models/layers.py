@@ -156,7 +156,18 @@ class DSTDGC(nn.Module):
     @nn.compact
     def __call__(self, x: Array, base_adj: Array, alpha: Array,
                  mask: Optional[Array] = None, *,
-                 train: bool = False) -> Array:
+                 train: Optional[bool] = None) -> Array:
+        if train is None:
+            # 'serving' gates the Pallas routing on train-ness, so a
+            # caller omitting ``train`` would silently select the eval
+            # (Pallas) path in a training context — the measured ~2x
+            # regression the knob exists to avoid (ADVICE r4).  Require
+            # it explicitly there; elsewhere the default is eval.
+            if self.use_pallas == "serving":
+                raise ValueError(
+                    "use_pallas='serving' routes kernels by train-ness; "
+                    "pass train=True/False explicitly")
+            train = False
         assert self.mode in ("spatial", "temporal")
         k, cin = self.num_kernels, x.shape[-1]
         co, r, ref = self.out_channels, self.red_channels, self.ref_len

@@ -754,11 +754,76 @@ def run_train2(args):
             os.environ.pop("DSTDGCN_PALLAS_BWD", None)
 
 
+def run_train5(args):
+    """Round-5 attribution of the train-mode forward overhead (VERDICT r4
+    weak #2 / next #1): the r4 'structural floor' arithmetic used
+    fwd_train_bf16_gagg = 6.016 ms, but that row ran agg_group (5,3) while
+    the eval row (4.787) ran the tuned (5,2) — so part of the 26% gap is a
+    knob mismatch, not train-mode overhead.  This wave measures, all at the
+    SHIPPED tuned knobs (bf16 + (5,2)):
+
+      fwd_eval         eval-mode forward (control)
+      fwd_train        BN batch-stats + dropout mask (threefry)
+      fwd_train_nodrop BN batch-stats only  -> dropout cost = train - nodrop
+      fwd_train_rbg    dropout mask via the cheap rbg PRNG
+      BN-stat cost = nodrop - eval
+
+    then the full train step with each shippable fix."""
+    import jax.random as jrandom
+
+    from dstdgcn_tpu.models import DSTDGCN
+
+    n = 128
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.randn(n, 35, 22, 3), jnp.float32)
+    mkw = dict(input_channels=6, input_time_frame=10, output_time_frame=25,
+               joints_to_consider=22, num_feature=64, num_layers=5,
+               layout="h36m", compute_dtype="bfloat16",
+               agg_group_spatial=5, agg_group_temporal=2)
+
+    def fwd_row(name, train, dropout=0.1, impl=None):
+        model = DSTDGCN(st_gcnn_dropout=dropout, **mkw)
+        variables = model.init({"params": jrandom.key(0)}, x0[:1],
+                               train=False)
+        key = (jrandom.key(1) if impl is None
+               else jrandom.key(1, impl=impl))
+
+        def fwd(xx, _m=model, _v=variables, _k=key, _t=train):
+            if not _t:
+                return _m.apply(_v, xx, train=False)
+            out, _ = _m.apply(_v, xx, train=True, rngs={"dropout": _k},
+                              mutable=["batch_stats"])
+            return out
+
+        measure(name, fwd, x0)
+
+    fwd_row("fwd_eval_g52", train=False)
+    fwd_row("fwd_train_g52", train=True)
+    fwd_row("fwd_train_g52_nodrop", train=True, dropout=0.0)
+    fwd_row("fwd_train_g52_rbg", train=True, impl="rbg")
+
+    for name, kw in [
+        ("train_g52_ctrl", dict()),                      # = r4 train_bf16_g52
+        ("train_g52_rbg", dict(prng_impl="rbg")),
+        ("train_g52_nodrop", dict(dropout=0.0)),         # attribution only
+        ("train_g52_rbg_b32", dict(prng_impl="rbg")),    # tuned @ shipped bs
+    ]:
+        nb_ = 32 if name.endswith("b32") else 128
+        try:
+            sec = bench._with_retry(
+                lambda _kw=kw, _nb=nb_: bench.bench_train_step(
+                    _nb, use_pallas=False, compute_dtype="bfloat16",
+                    agg_group=(5, 2), **_kw))
+            emit(name, round(sec * 1e3, 3), unit="ms")
+        except Exception as e:  # noqa: BLE001
+            emit(name, None, error=f"{type(e).__name__}: {str(e)[:200]}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["chain", "chain2", "chain3", "chain4",
                                     "xattr", "train", "train2", "train3",
-                                    "all"])
+                                    "train5", "all"])
     args = ap.parse_args()
     emit("device", str(jax.devices()[0]))
     if args.cmd in ("chain", "all"):
@@ -777,6 +842,8 @@ def main():
         run_train2(args)
     if args.cmd == "train3":
         run_train3(args)
+    if args.cmd == "train5":
+        run_train5(args)
 
 
 if __name__ == "__main__":

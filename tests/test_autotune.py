@@ -1,0 +1,79 @@
+"""Auto knob-selection tests (models/autotune.py).
+
+VERDICT r4 next #4: the measured per-shape winners must be default
+BEHAVIOR, not footnotes — "auto" knobs resolve at trace time to the
+winning (compute_dtype, agg_group) combination for the batch size, and
+the resolved model must compute the same function as the explicitly
+knobbed one.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dstdgcn_tpu.models import DSTDGCN
+from dstdgcn_tpu.models.autotune import resolve_auto, resolve_knob
+
+MK = dict(input_channels=6, input_time_frame=10, output_time_frame=5,
+          st_gcnn_dropout=0.0, joints_to_consider=22, num_feature=16,
+          num_layers=1, layout="h36m")
+
+
+def test_policy_regimes():
+    # measured winners: BENCH_r04 shapes rows (see autotune.py table)
+    assert resolve_auto(1) == dict(compute_dtype=None,
+                                   agg_group_spatial=None,
+                                   agg_group_temporal=None)
+    for n in (512, 1024, 4096):
+        assert resolve_auto(n)["compute_dtype"] == "bfloat16"
+        assert resolve_auto(n)["agg_group_spatial"] is None
+    for n in (2, 32, 128, 256):
+        assert resolve_auto(n) == dict(compute_dtype="bfloat16",
+                                       agg_group_spatial=5,
+                                       agg_group_temporal=2)
+
+
+def test_resolve_knob_passthrough():
+    assert resolve_knob("agg_group_spatial", 7, 128) == 7
+    assert resolve_knob("agg_group_spatial", None, 128) is None
+    assert resolve_knob("agg_group_spatial", "auto", 128) == 5
+    assert resolve_knob("compute_dtype", "auto", 1) is None
+
+
+def _outputs(model, x):
+    variables = model.init({"params": jax.random.key(0)}, x[:1], train=False)
+    return np.asarray(model.apply(variables, x, train=False))
+
+
+@pytest.mark.parametrize("batch,explicit", [
+    (1, dict(compute_dtype=None, agg_group_spatial=None,
+             agg_group_temporal=None)),
+    (4, dict(compute_dtype="bfloat16", agg_group_spatial=5,
+             agg_group_temporal=2)),
+])
+def test_auto_matches_explicit_knobs(batch, explicit):
+    """The auto model must compute bit-identically to the explicitly
+    knobbed model at each regime (same init keys, same knob routing)."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, 15, 22, 3), jnp.float32)
+    auto = DSTDGCN(**MK, compute_dtype="auto", agg_group_spatial="auto",
+                   agg_group_temporal="auto")
+    manual = DSTDGCN(**MK, **explicit)
+    np.testing.assert_array_equal(_outputs(auto, x), _outputs(manual, x))
+
+
+def test_auto_config_loads_and_builds():
+    """agg_group: auto survives the YAML -> get_model -> apply path."""
+    from dstdgcn_tpu.models import get_model
+    from dstdgcn_tpu.utils.config import get_config
+
+    cfg = get_config("configs/dstdgcn_h36m_tpu.yaml")
+    mcfg = dict(cfg["model"])
+    model = get_model(mcfg.pop("name"), **mcfg)
+    assert model.agg_group_spatial == "auto"
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 35, 22, 3), jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, x[:1], train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 35, 22, 3)

@@ -15,7 +15,49 @@ def test_tether_candidate_matches_module_path():
     rng = np.random.RandomState(0)
     params = bench._naive_params(rng, 2, 8, 10, 6)
     x = jnp.asarray(rng.randn(4, 10, 6, 8).astype(np.float32))
-    assert bench.tether_check(params, x) < 2e-2
+    # full-chain tether, per dtype (VERDICT r4 next #6b)
+    assert bench.tether_check(params, x, "float32") < 1e-4
+    assert bench.tether_check(params, x, "bfloat16") < 2e-2
+
+
+def test_print_result_fits_driver_window(tmp_path, monkeypatch, capsys):
+    """The driver parses the last ~2000 chars of output; the compact line
+    must carry the headline keys within that budget and reference the
+    full record (VERDICT r4 weak #4 / next #2)."""
+    import json
+
+    monkeypatch.setattr(bench, "_FULL_RECORD",
+                        str(tmp_path / "BENCH.json"))
+    r = dict(bench.RESULT)
+    r["value"], r["vs_baseline"] = 1e9, 1.5
+    r["detail"] = {k: 123.456 for k in bench._COMPACT_PRIORITY}
+    r["detail"]["shapes"] = [
+        {"shape": f"s{i}", "speedup": 1.1, "auto_matches_winner": True,
+         "padding": "x" * 400} for i in range(6)]
+    r["detail"]["sparse_kernel_large_graph"] = {"speedup_vs_dense": 5.6}
+    bench._print_result(r)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line) < 2000
+    d = json.loads(line)
+    for key in ("metric", "value", "vs_baseline", "full_record"):
+        assert key in d
+    for key in ("step_ms_ours", "train_step_ms_b128_tuned",
+                "pct_of_attainable", "tether_full_chain_ok"):
+        assert key in d["detail"], key
+    assert d["detail"]["auto_matches_winner_all"] is True
+    # the verbose sections live in the full record
+    full = json.loads((tmp_path / "BENCH.json").read_text())
+    assert len(full["detail"]["shapes"]) == 6
+
+
+def test_auto_kwargs_follow_policy():
+    from dstdgcn_tpu.models.autotune import resolve_auto
+
+    for n in (1, 32, 128, 512, 2048):
+        kw = bench._auto_kwargs(n)
+        pol = resolve_auto(n)
+        assert kw["agg_group_s"] == pol["agg_group_spatial"]
+        assert (kw["dtype"] is None) == (pol["compute_dtype"] is None)
 
 
 def test_naive_reference_matches_stacked():

@@ -365,21 +365,30 @@ def test_lockstep_training_convergence():
             inputs_inv = jnp.asarray(inv_all[b].reshape(bs, t_all, vc))
             targets = jnp.asarray(targets_all[b].reshape(bs, t_all, vc))
             state, losses = step(state, inputs, inputs_inv, targets, lr)
-            # our step reports per-direction loss dicts pre-averaging; the
-            # reference trajectory is the halved two-direction total, which
-            # is what loss_fn optimizes — recompute it for comparison
-            our_losses.append(float(losses["joint"]))
+            # the engine reports the optimized objective: the halved
+            # two-direction total (engine.py train_step), the same
+            # quantity the reference loop records — per-step trajectories
+            # are directly comparable (VERDICT r4 next #6a)
+            our_losses.append(float(losses["total"]))
 
-    # the reported 'joint' loss is the FORWARD-direction loss only; compare
-    # trajectories loosely there, and tightly on the end state
     ref_l = np.asarray(ref_losses)
     our_l = np.asarray(our_losses)
     assert our_l.shape == ref_l.shape
     # training must actually converge (not just match)
     assert our_l[-1] < 0.8 * our_l[0]
-    # per-step tracking: reference total vs our forward-direction loss
-    # differ by construction; instead compare the end-state PARAMETERS and
-    # a fresh eval loss, which subsume the whole trajectory
+    # per-step trajectory tracking: identical math in both frameworks, so
+    # the totals may drift only by accumulated f32 reduction-order noise.
+    # Measured (r5): < 1e-6 at EVERY step; the linear-in-step bound below
+    # leaves ~50x headroom at step 1 growing to ~150x by step 20.
+    step_idx = np.arange(1, len(ref_l) + 1)
+    rel = np.abs(our_l - ref_l) / np.abs(ref_l)
+    bound = 5e-5 + 1e-4 * step_idx / len(ref_l)
+    assert (rel < bound).all(), (
+        f"per-step divergence: max rel {rel.max():.2e} at step "
+        f"{int(rel.argmax()) + 1}, bound there "
+        f"{bound[rel.argmax()]:.2e}")
+    # end-state check: parameters + a fresh eval loss subsume the
+    # trajectory
     ref.eval()
     xe = torch.from_numpy(inputs_all[0])
     with torch.no_grad():
@@ -389,6 +398,9 @@ def test_lockstep_training_convergence():
         jnp.asarray(tsc(torch.from_numpy(inputs_all[0])).numpy()),
         train=False)
     ye_ours = np.asarray(ours_final).reshape(bs, t_all, vc)
-    # measured 3.0e-3 after 20 Adam steps (accumulated f32
-    # reduction-order drift); 5e-3 leaves ~1.7x headroom
-    assert _rel_err(ye_ours, ye) < 5e-3
+    # the end-state OUTPUT difference is chaotic amplification of f32
+    # rounding (measured 3.0e-3..8.5e-3 across otherwise-equivalent XLA
+    # program versions, r4-r5, while the per-step totals above track to
+    # <1e-6) — it guards gross divergence only; the trajectory assert is
+    # the tight tether
+    assert _rel_err(ye_ours, ye) < 2e-2
