@@ -821,9 +821,11 @@ def main():
     # forward-path winners, applied to the whole train step
     train_rows = (
         ("train_step_ms_b32", 32, dict(use_pallas=False)),
-        # the tuned knobs at the SHIPPED train batch size (VERDICT r4
-        # weak #6: every r4 sweep ran b128; the auto policy keeps the
-        # (5,2)+bf16 knobs at b32, measured here)
+        # the b128-swept knobs at the SHIPPED train batch size (VERDICT
+        # r4 weak #6).  Measured r5: they LOSE at b32 (18.75 vs 12.91
+        # f32) — this row is the evidence for the auto policy's <64 ->
+        # f32 rule (models/autotune.py); train_step_ms_b32 above is what
+        # the shipped auto config actually runs
         ("train_step_ms_b32_tuned", 32,
          dict(use_pallas=False, compute_dtype="bfloat16", agg_group=(5, 2),
               prng_impl="rbg")),
@@ -835,8 +837,8 @@ def main():
          dict(use_pallas=False, compute_dtype="bfloat16",
               agg_group=(5, 2))),
         # the shipped tuned profile (dstdgcn_h36m_tpu.yaml) knobs,
-        # including prng_impl rbg (threefry dropout costs ~5 ms in the
-        # train graph — PROBES_r05 train_g52_ctrl vs train_g52_rbg)
+        # including prng_impl rbg (same-session delta vs threefry:
+        # -0.26 ms, never measured slower — see PROBES_r05.md)
         ("train_step_ms_b128_tuned", 128,
          dict(use_pallas=False, compute_dtype="bfloat16",
               agg_group=(5, 2), prng_impl="rbg")),

@@ -164,13 +164,16 @@ class PredictionEngine:
         opt_state = self.tx.init(params)
         # engine.prng_impl selects the dropout PRNG ("rbg" is the cheaper
         # counter-based TPU generator; threefry default for bit-stability
-        # with the parity configs).  Measured r5 (PROBES_r05, flagship
-        # batch 128): in the FORWARD the threefry mask generation costs
-        # only ~0.12 ms (rbg neutral), but in the full TRAIN step it costs
-        # ~5 ms (44.0 -> 38.8 ms with rbg; the mask is consumed by the
-        # backward too, and threefry's wide int pipeline breaks fusions
-        # there) — the tuned configs ship prng_impl: rbg.  Masks remain
-        # iid Bernoulli; only the random stream differs.
+        # with the parity configs).  Measured r5 (flagship batch 128):
+        # dropout costs ~0.12 ms in the forward (PROBES_r05 fwd_train
+        # rows) and the same-session train-step delta rbg-vs-threefry is
+        # -0.26 ms (BENCH.json train_step_ms_b128_tuned 38.44 vs
+        # _tuned_threefry 38.70) — small but never measured slower, so
+        # the tuned configs ship prng_impl: rbg.  (The PROBES_r05
+        # train_g52_ctrl row reads 44.0, but every other same-knob
+        # measurement across r4/r5 sits at 38.4-38.7 — that row is
+        # tunnel-session noise, not a threefry cost.)  Masks remain iid
+        # Bernoulli; only the random stream differs.
         impl = self.config.get("prng_impl") or None
         dropout_key = (jax.random.key(seed + 1) if impl is None
                        else jax.random.key(seed + 1, impl=impl))

@@ -1,24 +1,31 @@
 """Measured per-shape performance-knob selection ("auto" knobs).
 
-Round-4 benchmarking (BENCH_r04 ``detail.shapes``; re-measured in
-BENCH_r05) showed the tuned knobs are SHAPE-DEPENDENT on a v5e chip:
+Round-4/5 benchmarking (``BENCH.json`` ``detail.shapes`` + train rows,
+committed each round as ``BENCH_r*.json``) showed the tuned knobs are
+SHAPE-DEPENDENT on a v5e chip:
 
   ==============  =======================  ============================
-  batch regime    winner                   evidence (BENCH_r04 shapes)
+  batch regime    winner                   evidence (BENCH.json, r5)
   ==============  =======================  ============================
-  batch == 1      plain f32                b1_serving: f32 0.448 ms vs
-                                           bf16 0.472 / tuned_g 0.513
+  batch < 64      plain f32                b1_serving: f32 0.470 ms vs
+                                           bf16 0.488 / tuned_g 0.526
                                            (cast + grouping overhead
-                                           dominate at tiny batch)
-  batch >= 512    bf16, NO grouping        b1024_h36m: bf16 56.7 ms vs
+                                           dominate at tiny batch); and
+                                           at the shipped TRAIN batch
+                                           32, train_step_ms_b32 12.9
+                                           (f32) vs _b32_tuned 18.8 —
+                                           the tuned knobs lose the
+                                           whole train step under-
+                                           filled
+  batch >= 512    bf16, NO grouping        b1024_h36m: bf16 56.9 ms vs
                                            tuned_g 70.4 (block-diagonal
                                            FLOP waste dominates once the
                                            MXU is saturated); b512 f32
-                                           27.1 vs bf16 27.3 is a tie
+                                           27.1 vs bf16 27.4 is a tie
                                            within tunnel variance
-  otherwise       bf16 + (5, 2) grouped    b128 flagship 4.6 ms vs 6.5
-                  aggregation              ungrouped bf16; cmu/3dpw rows
-                                           1.45-1.61x reference-style
+  otherwise       bf16 + (5, 2) grouped    b128 flagship 4.63 ms vs 6.15
+                  aggregation              ungrouped; cmu/3dpw rows
+                                           1.42-1.61x reference-style
   ==============  =======================  ============================
 
 A user scaling the batch under a static tuned config would silently keep
@@ -27,6 +34,9 @@ friends) in the model config resolve to the measured winner from the
 batch size at trace time instead.  The resolution is static per compiled
 shape: batch size is a trace-time constant under ``jit``, so each batch
 size compiles with its own winning knobs and no runtime dispatch exists.
+The <64 boundary is set by the measured b32 train rows vs the b128
+sweep; 64 itself is unmeasured and assigned to the tuned regime (the
+nearer measured point).
 
 Reference anchor: the reference has no equivalent (its configs hard-code
 one CUDA code path, configs/dstdgcn/dstdgcn_h36m.yaml); this is the
@@ -43,7 +53,7 @@ AUTO_KNOBS = ("compute_dtype", "agg_group_spatial", "agg_group_temporal")
 
 def resolve_auto(batch_size: int) -> Dict[str, Any]:
     """Measured v5e winners for a given batch size (table above)."""
-    if batch_size <= 1:
+    if batch_size < 64:
         return dict(compute_dtype=None, agg_group_spatial=None,
                     agg_group_temporal=None)
     if batch_size >= 512:
