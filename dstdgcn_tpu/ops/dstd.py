@@ -33,6 +33,8 @@ Weight layouts (channels-last dense kernels):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -227,17 +229,31 @@ def _block_diag_batch(adj: jnp.ndarray, g: int) -> jnp.ndarray:
     return bd.reshape(*lead, b // g, g * p, g * p)
 
 
-def aggregate_spatial_grouped(xf: jnp.ndarray, adj: jnp.ndarray, g: int,
-                              agg: str = "right", dtype=None) -> jnp.ndarray:
-    """Frame-grouped block-diagonal variant of :func:`aggregate_spatial`.
+def _grouped_custom_vjp_enabled() -> bool:
+    """Hand-derived backward for the grouped aggregations — measured
+    SLOWER, default OFF (round-5 experiment, kept for the record).
 
-    xf (K,N,T,V,C), adj (K,N,T,V,V) -> (N,T,V,C); ``g`` frames are packed
-    per matmul, turning the per-(n,t) V x V aggregation into (g*V) x (g*V)
-    block-diagonal matmuls that fill the MXU.  T is zero-padded up to a
-    multiple of ``g`` (zero adjacency blocks over zero features contribute
-    nothing; the padded frames are sliced off) — so ``g`` need not divide
-    T, e.g. g=4 on T=35.
+    Hypothesis: XLA's autodiff of the block-diagonal formulation
+    computes the FULL (g*P, g*P) cotangent and masks it back to the
+    diagonal blocks (the VJP of ``_block_diag_batch``'s eye-broadcast)
+    — ~g x wasted matmul FLOPs plus a large materialized tensor — so a
+    custom VJP computing ``dadj`` per item (C-contraction, no
+    block-diagonal) should win.
+
+    Measurement (PROBES_r05b, interleaved ON/OFF pairs, b128 tuned
+    knobs): custom VJP 42.2 / 41.6 ms vs autodiff 37.3 / 38.0 ms — the
+    hypothesis is WRONG on this shape.  The full (g*V, g*V) cotangent
+    GEMM is a well-shaped 110x110x64 matmul XLA fuses the masking into,
+    while the per-item dadj einsum is a 22x22x64 batched GEMM — the
+    exact MXU-underfill the grouping exists to avoid, now in the
+    backward.  DSTDGCN_GROUPED_AGG_VJP=1 opts in (gradients stay
+    golden-tested, tests/test_grouped_vjp.py); default is autodiff.
     """
+    import os
+    return os.environ.get("DSTDGCN_GROUPED_AGG_VJP", "0") == "1"
+
+
+def _agg_spatial_grouped_impl(xf, adj, g, agg, dtype):
     kk, nn, tt, vv, cc = xf.shape
     tp = -(-tt // g) * g
     xfp = _pad_axis(_cast_dot(xf, dtype), 2, tp)
@@ -252,14 +268,64 @@ def aggregate_spatial_grouped(xf: jnp.ndarray, adj: jnp.ndarray, g: int,
     return out.reshape(nn, tp, vv, cc)[:, :tt]
 
 
-def aggregate_temporal_grouped(xf: jnp.ndarray, adj: jnp.ndarray, g: int,
-                               agg: str = "right", dtype=None) -> jnp.ndarray:
-    """Joint-grouped block-diagonal variant of :func:`aggregate_temporal`.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _agg_spatial_grouped_cv(xf, adj, g, agg, dtype):
+    return _agg_spatial_grouped_impl(xf, adj, g, agg, dtype)
 
-    xf (K,N,T,V,C), adj (K,N,V,T,T) -> (N,T,V,C); ``g`` joints are packed
-    per matmul.  V is zero-padded up to a multiple of ``g`` (zero rows of
-    the block-diagonal contribute nothing).
+
+def _agg_spatial_grouped_cv_fwd(xf, adj, g, agg, dtype):
+    return _agg_spatial_grouped_impl(xf, adj, g, agg, dtype), (xf, adj)
+
+
+def _agg_spatial_grouped_cv_bwd(g, agg, dtype, res, dout):
+    xf, adj = res
+    kk, nn, tt, vv, cc = xf.shape
+    tp = -(-tt // g) * g
+    do = _cast_dot(dout, dtype)                        # (N,T,V,C)
+    do_p = _pad_axis(do, 1, tp).reshape(nn, tp // g, g * vv, cc)
+    bd = _block_diag_batch(_pad_axis(_cast_dot(adj, dtype), 2, tp), g)
+    xfc = _cast_dot(xf, dtype)
+    if agg == "right":
+        # out[n,b,w,c] = sum_{k,v} xfg·bd  =>
+        dxf_g = jnp.einsum("knbvw,nbwc->knbvc", bd, do_p,
+                           preferred_element_type=jnp.float32)
+        dadj = jnp.einsum("kntvc,ntwc->kntvw", xfc, do,
+                          preferred_element_type=jnp.float32)
+    else:
+        # out[n,b,v,c] = sum_{k,w} bd·xfg  =>
+        dxf_g = jnp.einsum("knbvw,nbvc->knbwc", bd, do_p,
+                           preferred_element_type=jnp.float32)
+        dadj = jnp.einsum("ntvc,kntwc->kntvw", do, xfc,
+                          preferred_element_type=jnp.float32)
+    dxf = dxf_g.reshape(kk, nn, tp, vv, cc)[:, :, :tt]
+    return dxf.astype(xf.dtype), dadj.astype(adj.dtype)
+
+
+_agg_spatial_grouped_cv.defvjp(_agg_spatial_grouped_cv_fwd,
+                               _agg_spatial_grouped_cv_bwd)
+
+
+def aggregate_spatial_grouped(xf: jnp.ndarray, adj: jnp.ndarray, g: int,
+                              agg: str = "right", dtype=None) -> jnp.ndarray:
+    """Frame-grouped block-diagonal variant of :func:`aggregate_spatial`.
+
+    xf (K,N,T,V,C), adj (K,N,T,V,V) -> (N,T,V,C); ``g`` frames are packed
+    per matmul, turning the per-(n,t) V x V aggregation into (g*V) x (g*V)
+    block-diagonal matmuls that fill the MXU.  T is zero-padded up to a
+    multiple of ``g`` (zero adjacency blocks over zero features contribute
+    nothing; the padded frames are sliced off) — so ``g`` need not divide
+    T, e.g. g=4 on T=35.
+
+    Backward: plain autodiff by default; a hand-derived VJP exists but
+    measured slower (see :func:`_grouped_custom_vjp_enabled`).
     """
+    if _grouped_custom_vjp_enabled():
+        return _agg_spatial_grouped_cv(_cast_dot(xf, dtype),
+                                       _cast_dot(adj, dtype), g, agg, dtype)
+    return _agg_spatial_grouped_impl(xf, adj, g, agg, dtype)
+
+
+def _agg_temporal_grouped_impl(xf, adj, g, agg, dtype):
     kk, nn, tt, vv, cc = xf.shape
     vp = -(-vv // g) * g
     xf_v = jnp.swapaxes(_cast_dot(xf, dtype), 2, 3)    # (K,N,V,T,C)
@@ -273,6 +339,62 @@ def aggregate_temporal_grouped(xf: jnp.ndarray, adj: jnp.ndarray, g: int,
                          preferred_element_type=jnp.float32)
     out = out.reshape(nn, vp, tt, cc)[:, :vv]          # (N,V,T,C)
     return jnp.swapaxes(out, 1, 2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _agg_temporal_grouped_cv(xf, adj, g, agg, dtype):
+    return _agg_temporal_grouped_impl(xf, adj, g, agg, dtype)
+
+
+def _agg_temporal_grouped_cv_fwd(xf, adj, g, agg, dtype):
+    return _agg_temporal_grouped_impl(xf, adj, g, agg, dtype), (xf, adj)
+
+
+def _agg_temporal_grouped_cv_bwd(g, agg, dtype, res, dout):
+    xf, adj = res
+    kk, nn, tt, vv, cc = xf.shape
+    vp = -(-vv // g) * g
+    do_v = jnp.swapaxes(_cast_dot(dout, dtype), 1, 2)  # (N,V,T,C)
+    do_p = _pad_axis(do_v, 1, vp).reshape(nn, vp // g, g * tt, cc)
+    bd = _block_diag_batch(_pad_axis(_cast_dot(adj, dtype), 2, vp), g)
+    xf_v = jnp.swapaxes(_cast_dot(xf, dtype), 2, 3)    # (K,N,V,T,C)
+    if agg == "right":
+        # out_v[n,b,u,c] = sum_{k,t} xf_v·bd  =>
+        dxf_g = jnp.einsum("knbtu,nbuc->knbtc", bd, do_p,
+                           preferred_element_type=jnp.float32)
+        dadj = jnp.einsum("knvtc,nvuc->knvtu", xf_v, do_v,
+                          preferred_element_type=jnp.float32)
+    else:
+        # out_v[n,b,t,c] = sum_{k,u} bd·xf_v  =>
+        dxf_g = jnp.einsum("knbtu,nbtc->knbuc", bd, do_p,
+                           preferred_element_type=jnp.float32)
+        dadj = jnp.einsum("nvtc,knvuc->knvtu", do_v, xf_v,
+                          preferred_element_type=jnp.float32)
+    dxf_v = dxf_g.reshape(kk, nn, vp, tt, cc)[:, :, :vv]
+    dxf = jnp.swapaxes(dxf_v, 2, 3)                    # (K,N,T,V,C)
+    return dxf.astype(xf.dtype), dadj.astype(adj.dtype)
+
+
+_agg_temporal_grouped_cv.defvjp(_agg_temporal_grouped_cv_fwd,
+                                _agg_temporal_grouped_cv_bwd)
+
+
+def aggregate_temporal_grouped(xf: jnp.ndarray, adj: jnp.ndarray, g: int,
+                               agg: str = "right", dtype=None) -> jnp.ndarray:
+    """Joint-grouped block-diagonal variant of :func:`aggregate_temporal`.
+
+    xf (K,N,T,V,C), adj (K,N,V,T,T) -> (N,T,V,C); ``g`` joints are packed
+    per matmul.  V is zero-padded up to a multiple of ``g`` (zero rows of
+    the block-diagonal contribute nothing).
+
+    Backward: plain autodiff by default; a hand-derived VJP exists but
+    measured slower (see :func:`_grouped_custom_vjp_enabled`).
+    """
+    if _grouped_custom_vjp_enabled():
+        return _agg_temporal_grouped_cv(_cast_dot(xf, dtype),
+                                        _cast_dot(adj, dtype), g, agg,
+                                        dtype)
+    return _agg_temporal_grouped_impl(xf, adj, g, agg, dtype)
 
 
 def _dyn_adjacency_flat(x, wm1, bm1, wm2, bm2, wrm, brm, mask, dtype,

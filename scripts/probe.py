@@ -819,11 +819,32 @@ def run_train5(args):
             emit(name, None, error=f"{type(e).__name__}: {str(e)[:200]}")
 
 
+def run_train6(args):
+    """A/B the hand-derived grouped-aggregation VJP (ops/dstd.py
+    _agg_*_grouped_cv, round 5): autodiff of the block-diagonal
+    formulation materializes the full (g*P, g*P) cotangent then masks it
+    — the custom bwd computes dadj per item instead.  Interleaved
+    ON/OFF pairs at the tuned knobs (bf16, (5,2), b128) so tunnel drift
+    can't masquerade as a win."""
+    for name, env in [("train_cvjp_on", "1"), ("train_cvjp_off", "0"),
+                      ("train_cvjp_on2", "1"), ("train_cvjp_off2", "0")]:
+        os.environ["DSTDGCN_GROUPED_AGG_VJP"] = env
+        try:
+            sec = bench._with_retry(lambda: bench.bench_train_step(
+                128, use_pallas=False, compute_dtype="bfloat16",
+                agg_group=(5, 2), prng_impl="rbg"))
+            emit(name, round(sec * 1e3, 3), unit="ms", cvjp=env)
+        except Exception as e:  # noqa: BLE001
+            emit(name, None, error=f"{type(e).__name__}: {str(e)[:200]}")
+        finally:
+            os.environ.pop("DSTDGCN_GROUPED_AGG_VJP", None)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["chain", "chain2", "chain3", "chain4",
                                     "xattr", "train", "train2", "train3",
-                                    "train5", "all"])
+                                    "train5", "train6", "all"])
     args = ap.parse_args()
     emit("device", str(jax.devices()[0]))
     if args.cmd in ("chain", "all"):
@@ -844,6 +865,8 @@ def main():
         run_train3(args)
     if args.cmd == "train5":
         run_train5(args)
+    if args.cmd == "train6":
+        run_train6(args)
 
 
 if __name__ == "__main__":
