@@ -54,9 +54,10 @@ class DSTDGCN(nn.Module):
     #: (bf16 inputs, f32 accumulation); params and outputs stay f32.
     #: "auto" resolves per batch size (models/autotune.py)
     compute_dtype: Optional[str] = None
-    #: jax.checkpoint every DSTD-GC op: the backward recomputes the
-    #: HBM-heavy score/adjacency intermediates instead of saving them
-    remat: bool = False
+    #: jax.checkpoint every DSTD-GC op: True recomputes all
+    #: intermediates in the backward (memory knob); "dots" saves matmul
+    #: outputs and recomputes only the tanh-broadcast score tensor
+    remat: Union[bool, str] = False
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool = False) -> Array:

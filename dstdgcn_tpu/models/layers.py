@@ -146,12 +146,19 @@ class DSTDGC(nn.Module):
     #: block-diagonal grouped aggregation (ops.dstd agg_group): packs g
     #: frames (spatial) / joints (temporal) per MXU matmul
     agg_group: Optional[int] = None
-    #: jax.checkpoint the op: the backward pass recomputes the pairwise
-    #: score / projected-feature / dynamic-adjacency intermediates instead
-    #: of saving them — the op is FLOP-cheap (~3% of the MXU roofline) but
-    #: HBM-heavy, so rematerialization cuts live memory ~4x per block and
-    #: lets the train step run at much larger batch
-    remat: bool = False
+    #: jax.checkpoint the op: True recomputes EVERY intermediate in the
+    #: backward (pairwise scores / projected features / dynamic
+    #: adjacency) — the op is FLOP-cheap (~3% of the MXU roofline) but
+    #: HBM-heavy, so full rematerialization cuts live memory ~4x per
+    #: block and lets the train step run at much larger batch (a MEMORY
+    #: knob: measured slower at b128, PROBES_r04).  "dots" uses the
+    #: dots_saveable policy: matmul outputs (projections, mixing,
+    #: aggregation) are saved, only the elementwise tanh-broadcast score
+    #: tensor is recomputed — a finer memory/time trade, but ALSO
+    #: measured slower at b128 (46.7 vs 37.6 ms, PROBES_r05
+    #: train_remat_dots): the recompute re-pays the invariant VPU score
+    #: cost.  Both modes are memory knobs only.
+    remat: Union[bool, str] = False
 
     @nn.compact
     def __call__(self, x: Array, base_adj: Array, alpha: Array,
@@ -214,7 +221,10 @@ class DSTDGC(nn.Module):
                 fn, agg=self.agg, dtype=dtype,
                 pair_flat=self.pair_flat in (True, self.mode),
                 agg_group=self.agg_group)
-        if self.remat:
+        if self.remat == "dots":
+            call = jax.checkpoint(
+                call, policy=jax.checkpoint_policies.dots_saveable)
+        elif self.remat:
             call = jax.checkpoint(call)
         return call(*args)
 
@@ -254,7 +264,7 @@ class DSTDGCB(nn.Module):
     pair_flat: Union[bool, str] = False
     agg_group_spatial: Optional[int] = None
     agg_group_temporal: Optional[int] = None
-    remat: bool = False
+    remat: Union[bool, str] = False
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:
@@ -360,7 +370,7 @@ class STGCNNLayer(nn.Module):
     pair_flat: Union[bool, str] = False
     agg_group_spatial: Optional[int] = None
     agg_group_temporal: Optional[int] = None
-    remat: bool = False
+    remat: Union[bool, str] = False
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool) -> Array:

@@ -840,11 +840,41 @@ def run_train6(args):
             os.environ.pop("DSTDGCN_GROUPED_AGG_VJP", None)
 
 
+def run_train7(args):
+    """Round-5 follow-ups: (a) policy remat — save matmul outputs,
+    recompute only the tanh-broadcast score tensor in the backward
+    (finer than the full-op remat that measured slower in r4); (b)
+    batch-1 serving latency of the fused whole-encoder kernel (the
+    latency-bound regime was never measured at b1 — dispatch count may
+    matter more than per-op efficiency there)."""
+    for name, kw in [
+        ("train_remat_dots", dict(compute_dtype="bfloat16",
+                                  agg_group=(5, 2), remat="dots",
+                                  prng_impl="rbg")),
+        ("train_remat_dots_ctrl", dict(compute_dtype="bfloat16",
+                                       agg_group=(5, 2),
+                                       prng_impl="rbg")),
+    ]:
+        try:
+            sec = bench._with_retry(lambda _kw=kw: bench.bench_train_step(
+                128, use_pallas=False, **_kw))
+            emit(name, round(sec * 1e3, 3), unit="ms")
+        except Exception as e:  # noqa: BLE001
+            emit(name, None, error=f"{type(e).__name__}: {str(e)[:200]}")
+
+    try:
+        rows = bench._with_retry(lambda: bench.bench_inference(n_batch=1))
+        for k, v in rows.items():
+            emit(f"b1_{k}", v)
+    except Exception as e:  # noqa: BLE001
+        emit("b1_infer", None, error=f"{type(e).__name__}: {str(e)[:200]}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["chain", "chain2", "chain3", "chain4",
                                     "xattr", "train", "train2", "train3",
-                                    "train5", "train6", "all"])
+                                    "train5", "train6", "train7", "all"])
     args = ap.parse_args()
     emit("device", str(jax.devices()[0]))
     if args.cmd in ("chain", "all"):
@@ -867,6 +897,8 @@ def main():
         run_train5(args)
     if args.cmd == "train6":
         run_train6(args)
+    if args.cmd == "train7":
+        run_train7(args)
 
 
 if __name__ == "__main__":
