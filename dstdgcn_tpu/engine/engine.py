@@ -167,7 +167,7 @@ class PredictionEngine:
         # with the parity configs).  Measured r5 (flagship batch 128):
         # dropout costs ~0.12 ms in the forward (PROBES_r05 fwd_train
         # rows) and the same-session train-step delta rbg-vs-threefry is
-        # -0.26 ms (BENCH.json train_step_ms_b128_tuned 38.44 vs
+        # -0.26 ms (BENCH_r05_session.json train_step_ms_b128_tuned 38.44 vs
         # _tuned_threefry 38.70) — small but never measured slower, so
         # the tuned configs ship prng_impl: rbg.  (The PROBES_r05
         # train_g52_ctrl row reads 44.0, but every other same-knob

@@ -1,11 +1,11 @@
 """Measured per-shape performance-knob selection ("auto" knobs).
 
-Round-4/5 benchmarking (``BENCH.json`` ``detail.shapes`` + train rows,
+Round-4/5 benchmarking (``BENCH_r05_session.json`` ``detail.shapes`` + train rows,
 committed each round as ``BENCH_r*.json``) showed the tuned knobs are
 SHAPE-DEPENDENT on a v5e chip:
 
   ==============  =======================  ============================
-  batch regime    winner                   evidence (BENCH.json, r5)
+  batch regime    winner                   evidence (BENCH_r05_session.json, r5)
   ==============  =======================  ============================
   batch < 64      plain f32                b1_serving: f32 0.470 ms vs
                                            bf16 0.488 / tuned_g 0.526

@@ -21,7 +21,7 @@ MK = dict(input_channels=6, input_time_frame=10, output_time_frame=5,
 
 
 def test_policy_regimes():
-    # measured winners: BENCH.json shapes + train rows (autotune.py table)
+    # measured winners: BENCH_r05_session.json shapes + train rows (autotune.py table)
     for n in (1, 2, 32, 63):   # small batch: plain f32 (b1 serving row +
         assert resolve_auto(n) == dict(compute_dtype=None,  # b32 train rows)
                                        agg_group_spatial=None,
@@ -81,7 +81,7 @@ def test_auto_config_loads_and_builds():
 
 
 def test_auto_kwargs_follow_policy_boundaries():
-    # the b32 train regression (BENCH.json train_step_ms_b32 12.9 f32 vs
+    # the b32 train regression (BENCH_r05_session.json train_step_ms_b32 12.9 f32 vs
     # _b32_tuned 18.8) is what the <64 rule encodes; guard it
     assert resolve_auto(32)["compute_dtype"] is None
     assert resolve_auto(64)["compute_dtype"] == "bfloat16"
