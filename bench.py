@@ -955,6 +955,10 @@ def _print_result(result, max_chars=1900):
     compact = {k: result[k] for k in ("metric", "value", "unit",
                                       "vs_baseline") if k in result}
     compact["full_record"] = os.path.basename(_FULL_RECORD)
+    # staleness must survive trimming: a partial/stale run presented as
+    # fresh numbers would defeat the marker's whole purpose
+    if "stale" in detail:
+        compact["stale"] = detail["stale"]
     # one-line summaries of the verbose sections
     cd = {}
     shapes = detail.get("shapes")

@@ -30,11 +30,27 @@ def _unkey(tree):
 
 
 def _rekey(tree, target):
-    """Re-wrap raw key data where the target holds typed PRNG keys."""
-    return jax.tree.map(
-        lambda x, t: jax.random.wrap_key_data(jnp_asarray_u32(x))
-        if hasattr(t, "dtype") and jax.dtypes.issubdtype(
-            t.dtype, jax.dtypes.prng_key) else x, tree, target)
+    """Re-wrap raw key data where the target holds typed PRNG keys.
+
+    The wrap must use the TARGET key's impl — ``wrap_key_data`` defaults
+    to threefry, which rejects the (4,)-word key data of the ``rbg``
+    dropout keys the tuned configs ship (``engine.prng_impl: rbg``).  A
+    cross-impl restore (e.g. a threefry-era checkpoint resumed under an
+    rbg config, or vice versa) has incompatible key-data shapes; rather
+    than crash the resume, keep the engine's current key — only the
+    dropout stream changes, which carries no model/optimizer state.
+    """
+    def rewrap(x, t):
+        if not (hasattr(t, "dtype") and jax.dtypes.issubdtype(
+                t.dtype, jax.dtypes.prng_key)):
+            return x
+        try:
+            return jax.random.wrap_key_data(
+                jnp_asarray_u32(x), impl=jax.random.key_impl(t))
+        except (TypeError, ValueError):
+            return t   # impl mismatch: keep the live key (fresh stream)
+
+    return jax.tree.map(rewrap, tree, target)
 
 
 def jnp_asarray_u32(x):
@@ -53,11 +69,34 @@ def save_checkpoint(path: str, state: Any, payload: Dict[str, Any]) -> None:
     os.replace(tmp, path)  # atomic publish: no torn checkpoints on failure
 
 
+def _alt_key_width(unkeyed, target):
+    """Swap PRNG key-data trailing width (2,)<->(4,) in the restore
+    template: a checkpoint written under a different ``engine.prng_impl``
+    (threefry keys are 2 uint32 words, rbg keys 4) otherwise fails
+    msgpack shape validation before _rekey can handle it."""
+    def alt(x, t):
+        if hasattr(t, "dtype") and jax.dtypes.issubdtype(
+                t.dtype, jax.dtypes.prng_key):
+            w = 2 if x.shape[-1] == 4 else 4
+            return np.zeros(x.shape[:-1] + (w,), np.uint32)
+        return x
+
+    return jax.tree.map(alt, unkeyed, target)
+
+
 def restore_checkpoint(path: str, target: Any) -> Tuple[Any, Dict[str, Any]]:
     with open(path, "rb") as f:
         n = int.from_bytes(f.read(8), "little")
         payload = json.loads(f.read(n).decode())
         blob = f.read()
-    raw = serialization.from_bytes(_unkey(jax.device_get(target)), blob)
+    target = jax.device_get(target)
+    unkeyed = _unkey(target)
+    try:
+        raw = serialization.from_bytes(unkeyed, blob)
+    except ValueError:
+        # dropout key saved under a different prng impl: retry with the
+        # alternate key-data width; _rekey then keeps the live key
+        raw = serialization.from_bytes(_alt_key_width(unkeyed, target),
+                                       blob)
     state = _rekey(raw, target)
     return state, payload

@@ -293,7 +293,8 @@ class PredictionEngine:
                 from ..models import infer
                 from ..models.autotune import resolve_knob
                 cd = resolve_knob("compute_dtype", model.compute_dtype,
-                                  x.shape[0])
+                                  x.shape[0],
+                                  getattr(model, "auto_batch_hint", None))
                 dt = None if cd is None else jnp.dtype(cd)
                 out = infer.fused_eval_forward(
                     variables, x, num_layers=model.num_layers,
@@ -405,8 +406,9 @@ class PredictionEngine:
                         f"step {i + 1} (lr={float(lr):.2e}); enable "
                         f"smaller lr or clipping")
             for name, val in losses.items():
-                if name in t_l:   # "total" is reported but not a loss term
-                    t_l[name].update(float(val) * n, n)
+                if name == "total":   # reported objective, not a loss term
+                    continue
+                t_l[name].update(float(val) * n, n)   # KeyError on drift
             if self._callbacks is not None:
                 self._last_losses = {name: float(val)
                                      for name, val in losses.items()}

@@ -63,9 +63,29 @@ def resolve_auto(batch_size: int) -> Dict[str, Any]:
                 agg_group_temporal=2)
 
 
+def per_chip_batch(batch_size: int) -> int:
+    """Per-chip batch: the measured winners are PER-CHIP shapes, but a
+    traced ``x.shape[0]`` under GSPMD is the GLOBAL batch — divide by the
+    active mesh's data-axis size so e.g. global 256 over data=8 resolves
+    as the batch-32 regime it actually computes per chip."""
+    from ..parallel.mesh import _ACTIVE_MESH
+    mesh = _ACTIVE_MESH.get()
+    if mesh is None:
+        return batch_size
+    return max(1, batch_size // mesh.shape.get("data", 1))
+
+
 def resolve_knob(name: str, value: Union[str, int, None],
-                 batch_size: int) -> Optional[Any]:
-    """Return ``value`` unless it is the string "auto"."""
+                 batch_size: int,
+                 batch_hint: Optional[int] = None) -> Optional[Any]:
+    """Return ``value`` unless it is the string "auto".
+
+    ``batch_hint`` (the configured batch size, plumbed by the runner as
+    ``auto_batch_hint``) overrides the traced shape so (a) a ragged final
+    batch does not flip the knobs mid-run — one step per epoch silently
+    trading bf16 for f32 AND paying a fresh remote compile — and (b) all
+    shapes of a run share one knob set.
+    """
     if value == "auto":
-        return resolve_auto(batch_size)[name]
+        return resolve_auto(per_chip_batch(batch_hint or batch_size))[name]
     return value

@@ -58,6 +58,10 @@ class DSTDGCN(nn.Module):
     #: intermediates in the backward (memory knob); "dots" saves matmul
     #: outputs and recomputes only the tanh-broadcast score tensor
     remat: Union[bool, str] = False
+    #: configured batch size for "auto" knob resolution (set by the
+    #: runner from train_batch_size): keeps the knob set constant across
+    #: ragged final batches and eval shapes (models/autotune.py)
+    auto_batch_hint: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool = False) -> Array:
@@ -75,16 +79,19 @@ class DSTDGCN(nn.Module):
         # at trace time (n is a static shape under jit) — submodules only
         # ever see concrete values
         from .autotune import resolve_knob
+        hint = self.auto_batch_hint
         common = dict(time_dim=tt, joints_dim=v, layout=self.layout,
                       fast=self.fast, bn_axis_name=self.bn_axis_name,
                       use_pallas=self.use_pallas,
                       compute_dtype=resolve_knob(
-                          "compute_dtype", self.compute_dtype, n),
+                          "compute_dtype", self.compute_dtype, n, hint),
                       pair_flat=self.pair_flat,
                       agg_group_spatial=resolve_knob(
-                          "agg_group_spatial", self.agg_group_spatial, n),
+                          "agg_group_spatial", self.agg_group_spatial, n,
+                          hint),
                       agg_group_temporal=resolve_knob(
-                          "agg_group_temporal", self.agg_group_temporal, n),
+                          "agg_group_temporal", self.agg_group_temporal, n,
+                          hint),
                       remat=self.remat,
                       refine=True)
 
@@ -127,7 +134,8 @@ def get_model(name: str, **opts: Any) -> DSTDGCN:
         kwargs.pop(k, None)
     kwargs.update(_REGISTRY[name])
     for k in ("bn_axis_name", "use_pallas", "compute_dtype", "pair_flat",
-              "agg_group_spatial", "agg_group_temporal", "remat"):
+              "agg_group_spatial", "agg_group_temporal", "remat",
+              "auto_batch_hint"):
         if k in opts:
             kwargs[k] = opts[k]
     return DSTDGCN(**kwargs)

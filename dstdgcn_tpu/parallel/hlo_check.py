@@ -142,6 +142,18 @@ def check_send_independence(txt: str) -> Dict:
         return (any(sig in s["line"] for sig in _ROUND_COMPUTE)
                 or (s["calls"] in round_comps))
 
+    # guard against a vacuous pass: the round-compute signatures are
+    # matched via einsum-subscript metadata, which a jax/XLA upgrade or a
+    # shard.py refactor could silently stop emitting — require that the
+    # module actually contains identifiable round compute
+    n_round = sum(1 for s in seq if any(
+        sig in s["line"] for sig in _ROUND_COMPUTE) or s["calls"] in
+        round_comps)
+    assert n_round + len(round_comps) > 0, (
+        "no score/mixing/aggregation compute identified in the HLO — "
+        "the _ROUND_COMPUTE signatures no longer match; update them "
+        "before trusting this check")
+
     bad = []
     for p in permutes:
         # BFS over ancestors, cutting at other permutes (earlier rounds'
@@ -159,4 +171,5 @@ def check_send_independence(txt: str) -> Dict:
                 bad.append((p["name"], nm))
                 continue
             stack.extend(s["operands"])
-    return dict(num_permutes=len(permutes), violations=bad)
+    return dict(num_permutes=len(permutes), violations=bad,
+                num_round_compute=n_round + len(round_comps))

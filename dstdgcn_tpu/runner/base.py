@@ -41,6 +41,12 @@ class BaseRunner:
                           if k != "name"}
             model_name = config["model"]["name"]
             layout = model_opts.get(model_name, {}).get("layout")
+            # pin "auto" knob resolution to the configured train batch so
+            # ragged final batches / eval shapes don't flip the knobs
+            # mid-run (models/autotune.py resolve_knob)
+            if "auto" in str(dict(model_opts.get(model_name, {})).values()):
+                model_opts.setdefault(
+                    "auto_batch_hint", int(config["train_batch_size"]))
             model = get_model(model_name, **model_opts)
             inc = None
             if layout is not None:

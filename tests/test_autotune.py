@@ -85,3 +85,26 @@ def test_auto_kwargs_follow_policy_boundaries():
     # _b32_tuned 18.8) is what the <64 rule encodes; guard it
     assert resolve_auto(32)["compute_dtype"] is None
     assert resolve_auto(64)["compute_dtype"] == "bfloat16"
+
+
+def test_batch_hint_overrides_ragged_trace_shape():
+    # ragged final batch (40) must not flip the knobs when the
+    # configured batch (128) is hinted (r5 review finding)
+    assert resolve_knob("compute_dtype", "auto", 40) is None
+    assert resolve_knob("compute_dtype", "auto", 40, 128) == "bfloat16"
+    assert resolve_knob("agg_group_spatial", "auto", 40, 128) == 5
+
+
+def test_auto_resolves_per_chip_batch_under_mesh():
+    """Under a data-sharded mesh the traced shape is the GLOBAL batch;
+    the policy must resolve on the per-chip shard (global 256 over
+    data=8 computes batch-32 per chip -> the f32 regime)."""
+    from dstdgcn_tpu.models.autotune import per_chip_batch
+    from dstdgcn_tpu.parallel import activation_sharding_context, make_mesh
+
+    assert per_chip_batch(256) == 256     # no mesh: global == per-chip
+    mesh = make_mesh(data=8, graph=1)
+    with activation_sharding_context(mesh):
+        assert per_chip_batch(256) == 32
+        assert resolve_knob("compute_dtype", "auto", 256) is None
+        assert resolve_knob("compute_dtype", "auto", 1024) == "bfloat16"

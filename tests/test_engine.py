@@ -110,6 +110,45 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_roundtrip_rbg(tmp_path, rng):
+    """Checkpoint save/restore under engine.prng_impl: rbg (the tuned
+    configs ship it): wrap_key_data must use the target key's impl —
+    the threefry default rejects rbg's (4,)-word key data (r5 review
+    finding, confirmed crash before the fix)."""
+    eng = PredictionEngine(dict(CFG, prng_impl="rbg"), MODEL)
+    data = _toy_data(rng)
+    eng.init(data[0][:1])
+    eng.train(Loader(data, batch_size=8), 0)
+    eng.save(str(tmp_path), err=0.5, epoch=0, is_best=False)
+    eng2 = PredictionEngine(dict(CFG, prng_impl="rbg"), MODEL)
+    eng2.init(data[0][:1], seed=999)
+    epoch, err = eng2.recover(str(tmp_path / "last.ckpt"))
+    assert epoch == 0 and err == pytest.approx(0.5)
+    assert "rbg" in str(jax.random.key_impl(eng2.state.dropout_key))
+    for a, b in zip(jax.tree.leaves(eng.state.params),
+                    jax.tree.leaves(eng2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_cross_prng_impl_restore(tmp_path, rng):
+    """A checkpoint written under one dropout PRNG restores under the
+    other (e.g. an rbg-trained run evaluated with the threefry parity
+    config): params/optimizer round-trip; only the dropout key falls
+    back to the live one (fresh stream, no model state lost)."""
+    eng = PredictionEngine(dict(CFG), MODEL)  # threefry writer
+    data = _toy_data(rng)
+    eng.init(data[0][:1])
+    eng.save(str(tmp_path), err=0.7, epoch=2, is_best=False)
+    eng2 = PredictionEngine(dict(CFG, prng_impl="rbg"), MODEL)  # rbg reader
+    eng2.init(data[0][:1], seed=999)
+    epoch, err = eng2.recover(str(tmp_path / "last.ckpt"))
+    assert epoch == 2 and err == pytest.approx(0.7)
+    assert "rbg" in str(jax.random.key_impl(eng2.state.dropout_key))
+    for a, b in zip(jax.tree.leaves(eng.state.params),
+                    jax.tree.leaves(eng2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_eval_protocol_matches_numpy_reference(rng):
     """On-device eval (scatter + ignore/equal + per-frame MPJPE) vs a plain
     numpy transcription of reference engine/prediction.py:366-404."""

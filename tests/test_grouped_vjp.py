@@ -71,10 +71,15 @@ def test_temporal_grouped_vjp_matches_oracles(arrs, agg, g, monkeypatch):
     _assert_close(got, ref)
 
 
-def test_full_op_gradient_with_custom_vjp(arrs):
-    """dstd_spatial/temporal end-to-end grads (through projections,
-    scores, adjacency assembly AND the grouped aggregation) match the
-    ungrouped path."""
+@pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
+def test_full_op_gradient_with_custom_vjp(arrs, dtype, monkeypatch):
+    """dstd_spatial end-to-end grads (through projections, scores,
+    adjacency assembly AND the grouped aggregation) match the ungrouped
+    path — with the custom VJP actually ENABLED, in both dtypes, so the
+    opt-in path's cast chain stays correct (on the CPU backend bf16
+    contractions degrade to f32 via _cast_dot, which still exercises the
+    cast plumbing)."""
+    monkeypatch.setenv("DSTDGCN_GROUPED_AGG_VJP", "1")
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(N, T, V, C), jnp.float32)
     mk = lambda *s: jnp.asarray(rng.randn(*s), jnp.float32) * 0.3
@@ -83,9 +88,10 @@ def test_full_op_gradient_with_custom_vjp(arrs):
              mk(K, 2, T, T), mk(K, T))
 
     def loss(xx, group):
-        return (D.dstd_spatial(xx, *wargs, agg_group=group) ** 2).sum()
+        return (D.dstd_spatial(xx, *wargs, agg_group=group,
+                               dtype=dtype) ** 2).sum()
 
     g_base = jax.grad(loss)(x, None)
     g_cv = jax.grad(loss)(x, 3)
     err = float(jnp.abs(g_base - g_cv).max() / jnp.abs(g_base).max())
-    assert err < 1e-5
+    assert err < (1e-5 if dtype is None else 3e-2)
