@@ -928,6 +928,11 @@ _COMPACT_PRIORITY = (
     "tether_full_chain_ok", "tether_rel_err_f32", "tether_rel_err_bf16",
     "step_ms_reference_style", "step_ms_xla_bd_bf16_g52", "step_ms_xla",
     "step_ms_xla_bd_bf16", "step_ms_fused_chain_kernel",
+    "step_ms_reference_style_remeasured", "step_ms_fused_pallas",
+    "step_ms_fused_chain_bf16", "step_ms_fused_chain_bf16_nb8",
+    "step_ms_xla_flat_bd_bf16", "step_ms_xla_bd_bf16_flatS",
+    "attrib_ms_spatial_only", "attrib_ms_temporal_only",
+    "fast_variant_n256_ms",
     "fast_variant_edges_per_s", "stale",
     "attainable_floor_ms", "algo_bw_floor_ms", "compute_floor_ms",
     "roofline_floor_ms", "device", "train_pallas_retired",
@@ -937,7 +942,7 @@ _FULL_RECORD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH.json")
 
 
-def _print_result(result, max_chars=1900):
+def _print_result(result, max_chars=1850):
     """Emit the full record to BENCH.json and ONE compact JSON line.
 
     VERDICT r4 weak #4: the driver captures only the last ~2000 chars of
