@@ -166,14 +166,13 @@ class PredictionEngine:
         # counter-based TPU generator; threefry default for bit-stability
         # with the parity configs).  Measured r5 (flagship batch 128):
         # dropout costs ~0.12 ms in the forward (PROBES_r05 fwd_train
-        # rows) and the same-session train-step delta rbg-vs-threefry is
-        # -0.26 ms (BENCH_r05_session.json train_step_ms_b128_tuned 38.44 vs
-        # _tuned_threefry 38.70) — small but never measured slower, so
-        # the tuned configs ship prng_impl: rbg.  (The PROBES_r05
-        # train_g52_ctrl row reads 44.0, but every other same-knob
-        # measurement across r4/r5 sits at 38.4-38.7 — that row is
-        # tunnel-session noise, not a threefry cost.)  Masks remain iid
-        # Bernoulli; only the random stream differs.
+        # rows) and the same-session train-step deltas rbg-vs-threefry
+        # are -3.3 and -0.26 ms across two bench sessions
+        # (BENCH_r05_session.json train_step_ms_b128_tuned 34.9 vs
+        # _tuned_threefry 38.2; an earlier session 38.44 vs 38.70) —
+        # session-variant in size but never slower, so the tuned configs
+        # ship prng_impl: rbg.  Masks remain iid Bernoulli; only the
+        # random stream differs.
         impl = self.config.get("prng_impl") or None
         dropout_key = (jax.random.key(seed + 1) if impl is None
                        else jax.random.key(seed + 1, impl=impl))

@@ -7,25 +7,25 @@ SHAPE-DEPENDENT on a v5e chip:
   ==============  =======================  ============================
   batch regime    winner                   evidence (BENCH_r05_session.json, r5)
   ==============  =======================  ============================
-  batch < 64      plain f32                b1_serving: f32 0.470 ms vs
-                                           bf16 0.488 / tuned_g 0.526
+  batch < 64      plain f32                b1_serving: f32 0.478 ms vs
+                                           bf16 0.479 / tuned_g 0.521
                                            (cast + grouping overhead
                                            dominate at tiny batch); and
                                            at the shipped TRAIN batch
-                                           32, train_step_ms_b32 12.9
-                                           (f32) vs _b32_tuned 18.8 —
+                                           32, train_step_ms_b32 13.4
+                                           (f32) vs _b32_tuned 18.3 —
                                            the tuned knobs lose the
                                            whole train step under-
                                            filled
   batch >= 512    bf16, NO grouping        b1024_h36m: bf16 56.9 ms vs
-                                           tuned_g 70.4 (block-diagonal
+                                           tuned_g 70.3 (block-diagonal
                                            FLOP waste dominates once the
                                            MXU is saturated); b512 f32
                                            27.1 vs bf16 27.4 is a tie
                                            within tunnel variance
-  otherwise       bf16 + (5, 2) grouped    b128 flagship 4.63 ms vs 6.15
+  otherwise       bf16 + (5, 2) grouped    b128 flagship 4.64 ms vs 6.14
                   aggregation              ungrouped; cmu/3dpw rows
-                                           1.42-1.61x reference-style
+                                           1.42-1.62x reference-style
   ==============  =======================  ============================
 
 A user scaling the batch under a static tuned config would silently keep

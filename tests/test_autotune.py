@@ -81,8 +81,8 @@ def test_auto_config_loads_and_builds():
 
 
 def test_auto_kwargs_follow_policy_boundaries():
-    # the b32 train regression (BENCH_r05_session.json train_step_ms_b32 12.9 f32 vs
-    # _b32_tuned 18.8) is what the <64 rule encodes; guard it
+    # the b32 train regression (BENCH_r05_session.json train_step_ms_b32 13.4 f32
+    # vs _b32_tuned 18.3) is what the <64 rule encodes; guard it
     assert resolve_auto(32)["compute_dtype"] is None
     assert resolve_auto(64)["compute_dtype"] == "bfloat16"
 
