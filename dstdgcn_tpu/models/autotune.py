@@ -35,8 +35,9 @@ batch size at trace time instead.  The resolution is static per compiled
 shape: batch size is a trace-time constant under ``jit``, so each batch
 size compiles with its own winning knobs and no runtime dispatch exists.
 The <64 boundary is set by the measured b32 train rows vs the b128
-sweep; 64 itself is unmeasured and assigned to the tuned regime (the
-nearer measured point).
+sweep; 64 itself measured a tie with tuned slightly ahead (interleaved
+pairs, PROBES_r05: tuned 31.5/32.1 ms vs f32 32.3/32.6) and is assigned
+to the tuned regime.
 
 Reference anchor: the reference has no equivalent (its configs hard-code
 one CUDA code path, configs/dstdgcn/dstdgcn_h36m.yaml); this is the
