@@ -73,3 +73,28 @@ def test_naive_reference_matches_stacked():
     got_nctv = np.transpose(got, (0, 3, 1, 2))
     err = np.abs(got_nctv - want).max() / max(np.abs(want).max(), 1.0)
     assert err < 1e-4
+
+
+def test_committed_snapshot_emits_complete_compact_line(tmp_path,
+                                                        monkeypatch,
+                                                        capsys):
+    """Against the real committed bench record (not a synthetic one):
+    the compact line must stay under the driver's window and carry every
+    numeric step_ms_*/train_* row (VERDICT r4 next #2 done-criterion)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "BENCH_r05_session.json")
+    if not os.path.exists(path):
+        pytest.skip("no committed bench snapshot")
+    record = json.load(open(path))
+    monkeypatch.setattr(bench, "_FULL_RECORD", str(tmp_path / "B.json"))
+    bench._print_result(record)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line) <= 1850
+    d = json.loads(line)
+    for k, v in record["detail"].items():
+        if (k.startswith("step_ms") or k.startswith("train_")) and \
+                isinstance(v, (int, float)):
+            assert k in d["detail"], k
