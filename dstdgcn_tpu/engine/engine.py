@@ -185,9 +185,9 @@ class PredictionEngine:
             # tensor-parallel "model" axis (parallel/mesh.py rules); the
             # Adam moments mirror the param tree so the same name-based
             # rule shards them consistently
-            from ..parallel.mesh import param_sharding
+            from ..parallel.mesh import param_sharding, place_tree
             shardings = param_sharding(self.mesh, self.state)
-            self.state = jax.tree.map(jax.device_put, self.state, shardings)
+            self.state = place_tree(self.state, shardings)
         if self.logger is not None:
             n = sum(p.size for p in jax.tree.leaves(params))
             self.logger.info(

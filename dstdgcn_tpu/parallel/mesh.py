@@ -110,6 +110,40 @@ def param_sharding(mesh: Mesh, tree):
     return jax.tree_util.tree_map_with_path(rule, tree)
 
 
+def place_tree(tree, shardings):
+    """Place a host-resident pytree onto per-leaf (possibly multi-process)
+    shardings.
+
+    ``jax.device_put`` only accepts fully-addressable shardings, so under
+    a real multi-host launch (jax.distributed, mesh spanning processes)
+    placing the replicated/TP-sharded model + optimizer state needs
+    ``jax.make_array_from_callback`` — every process holds the same host
+    values (same init seed), and each addressable shard reads its slice.
+    Typed PRNG keys can't round-trip through numpy, so they are placed as
+    raw key data and re-wrapped on device.  Single-process meshes keep
+    the plain device_put fast path.  (Found by the round-5 two-process
+    CPU launch: device_put raised on the non-addressable sharding.)
+    """
+    def place(x, sh):
+        if getattr(sh, "is_fully_addressable", True):
+            return jax.device_put(x, sh)
+        if hasattr(x, "dtype") and jax.dtypes.issubdtype(
+                x.dtype, jax.dtypes.prng_key):
+            impl = jax.random.key_impl(x)
+            kd = np.asarray(jax.random.key_data(x))
+            kd_sh = NamedSharding(sh.mesh, P(*(tuple(sh.spec) + (None,))))
+            gkd = jax.make_array_from_callback(kd.shape, kd_sh,
+                                               lambda idx: kd[idx])
+            return jax.jit(
+                lambda d: jax.random.wrap_key_data(d, impl=impl),
+                out_shardings=sh)(gkd)
+        xh = np.asarray(x)
+        return jax.make_array_from_callback(xh.shape, sh,
+                                            lambda idx: xh[idx])
+
+    return jax.tree.map(place, tree, shardings)
+
+
 # -- activation-constraint context -----------------------------------------
 # ops.dstd consults this so model code stays mesh-agnostic: under a mesh
 # context every (N, T, V, C) activation is pinned to the edge-partitioned
