@@ -9,7 +9,11 @@ end to end: ``jax.distributed.initialize`` via ``parallel.distributed``,
 a data mesh spanning both processes (4 virtual CPU devices each), state
 placement, global-batch assembly, the compiled train step with gloo
 collectives — and asserts the loss matches a single-process run of the
-identical global batch to f32 noise.
+identical global batch to f32 noise.  The worker also runs the
+ring-pipelined spatial op with the graph axis SPANNING the two
+processes (``ppermute`` over gloo, the north-star edge-partitioned
+config) and golden-checks its addressable shards against the local
+oracle.
 """
 
 import json
@@ -73,9 +77,38 @@ with activation_sharding_context(mesh):
     batch = eng._put_batch(inputs, inv, targets)
     state, losses = step(eng.state, *batch, jnp.asarray(1e-3, jnp.float32))
     jax.block_until_ready(losses)
+# north-star path across REAL process boundaries: the ring-pipelined
+# spatial op with the graph axis spanning both processes (ppermute over
+# gloo), golden-checked against the local oracle
+from dstdgcn_tpu.ops import dstd as xops
+from dstdgcn_tpu.parallel import dstd_spatial_ring
+
+rmesh = make_mesh(data=2, graph=jax.device_count() // 2)
+rg = np.random.RandomState(3)
+v_ring = rmesh.shape["graph"] * 4
+xr = jnp.asarray(rg.randn(2, 6, v_ring, 8), jnp.float32)
+base = jnp.asarray(rg.randn(2, v_ring, v_ring), jnp.float32) * 0.3
+wk = {k: jnp.asarray(rg.randn(*shp), jnp.float32) * 0.2 for k, shp in
+      dict(wf=(2, 8, 8), bf=(2, 8), wm1=(2, 8, 2), bm1=(2, 2),
+           wm2=(2, 8, 2), bm2=(2, 2), wrm=(2, 2, 6, 6),
+           brm=(2, 6)).items()}
+ring_args = (xr, base, jnp.asarray(0.5), wk["wf"], wk["bf"], wk["wm1"],
+             wk["bm1"], wk["wm2"], wk["bm2"], wk["wrm"], wk["brm"])
+ring = dstd_spatial_ring(rmesh, *ring_args)
+want = xops.dstd_spatial(*ring_args)
+# compare only this process's addressable joint slices
+err = 0.0
+for sh in ring.addressable_shards:
+    got = np.asarray(sh.data)
+    ref = np.asarray(want)[sh.index]
+    err = max(err, float(np.abs(got - ref).max() /
+                         max(np.abs(ref).max(), 1e-6)))
+assert err < 1e-5, f"ring mismatch across processes: {err}"
+
 if pid == 0:
-    print("RESULT " + json.dumps({k: float(v) for k, v in losses.items()}),
-          flush=True)
+    print("RESULT " + json.dumps(
+        {**{k: float(v) for k, v in losses.items()},
+         "ring_rel_err": err}), flush=True)
 '''
 
 
@@ -117,6 +150,10 @@ def test_two_process_train_step_matches_single(tmp_path):
         assert p.returncode == 0, o[-2000:]
     got = _result(outs[0])
 
+    # the ring golden check is absolute (vs the local oracle), not a
+    # cross-run quantity — both runs must simply pass it
+    assert want.pop("ring_rel_err") < 1e-5
+    assert got.pop("ring_rel_err") < 1e-5
     for k, v in want.items():
         rel = abs(got[k] - v) / max(abs(v), 1e-9)
         assert rel < 1e-5, (k, want, got)
