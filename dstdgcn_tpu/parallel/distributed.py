@@ -49,21 +49,30 @@ def initialize(dist_cfg: Optional[Dict[str, Any]] = None,
                logger=None) -> Tuple[int, int]:
     """Initialize ``jax.distributed`` from config/env; idempotent.
 
-    Resolution order per field: config block, then ``DSTDGCN_COORDINATOR`` /
-    ``DSTDGCN_NUM_PROCESSES`` / ``DSTDGCN_PROCESS_ID`` env vars, then JAX
-    auto-detection (TPU pod metadata).  A missing config block AND missing
-    env vars means single-process mode: no-op, returns (0, 1).
+    Resolution order per field: the ``DSTDGCN_COORDINATOR`` /
+    ``DSTDGCN_NUM_PROCESSES`` / ``DSTDGCN_PROCESS_ID`` env vars FIRST
+    (one launch command per host with per-process env, as the config
+    files document: "env vars override per process"), then the config
+    block, then JAX auto-detection (TPU pod metadata).  A missing config
+    block AND missing env vars means single-process mode: no-op,
+    returns (0, 1).
+
+    (Round-5 fix: config-first resolution let a shipped
+    ``coordinator: auto`` shadow the env coordinator, so the documented
+    multi-host launch recipe crashed with "coordinator_address should
+    be defined" — found by actually running main.py two-process.)
 
     Returns ``(process_index, process_count)``.
     """
     global _INITIALIZED
     cfg = dict(dist_cfg or {})
-    coord = cfg.get("coordinator") or os.environ.get("DSTDGCN_COORDINATOR")
-    nproc = cfg.get("num_processes")
-    nproc = int(nproc) if nproc is not None else _env_int(
-        "DSTDGCN_NUM_PROCESSES")
-    pid = cfg.get("process_id")
-    pid = int(pid) if pid is not None else _env_int("DSTDGCN_PROCESS_ID")
+    coord = os.environ.get("DSTDGCN_COORDINATOR") or cfg.get("coordinator")
+    nproc = _env_int("DSTDGCN_NUM_PROCESSES")
+    if nproc is None and cfg.get("num_processes") is not None:
+        nproc = int(cfg["num_processes"])
+    pid = _env_int("DSTDGCN_PROCESS_ID")
+    if pid is None and cfg.get("process_id") is not None:
+        pid = int(cfg["process_id"])
 
     if not cfg and coord is None and nproc is None:
         return 0, 1                       # single-process launch

@@ -190,6 +190,34 @@ def test_distributed_single_process_noop():
     assert dist.initialize({"coordinator": "auto"}) == (0, 1)
 
 
+def test_distributed_env_overrides_config(monkeypatch):
+    """Per-process env vars must beat the shipped config block: the
+    multihost config ships ``coordinator: auto`` and the documented
+    launch sets DSTDGCN_COORDINATOR per process — config-first
+    resolution shadowed it and crashed jax.distributed.initialize with
+    a missing coordinator_address (found by actually running main.py
+    two-process in round 5)."""
+    import jax
+
+    from dstdgcn_tpu.parallel import distributed as dist
+
+    captured = {}
+
+    def fake_init(**kw):
+        captured.update(kw)
+
+    monkeypatch.setattr(dist, "_INITIALIZED", False)
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    monkeypatch.setenv("DSTDGCN_COORDINATOR", "envhost:9")
+    monkeypatch.setenv("DSTDGCN_NUM_PROCESSES", "2")
+    monkeypatch.setenv("DSTDGCN_PROCESS_ID", "1")
+    dist.initialize({"coordinator": "auto", "num_processes": 8,
+                     "process_id": 5})
+    assert captured == {"coordinator_address": "envhost:9",
+                        "num_processes": 2, "process_id": 1}
+    monkeypatch.setattr(dist, "_INITIALIZED", False)
+
+
 def test_loader_process_split_partitions_global_batch():
     from dstdgcn_tpu.data import Loader
     rng = np.random.RandomState(0)
