@@ -404,3 +404,37 @@ def test_lockstep_training_convergence():
     # <1e-6) — it guards gross divergence only; the trajectory assert is
     # the tight tether
     assert _rel_err(ye_ours, ye) < 2e-2
+
+
+def test_load_reference_pth_checkpoint(tmp_path):
+    """The .pth file-loading path of utils/convert.py
+    (load_torch_state_dict) round-trips BOTH formats the reference
+    writes: a bare model state_dict and the engine checkpoint dict
+    {lr, err, model, optimizer, scheduler, epoch} with the ModelWrapper
+    'model.' prefix (engine/prediction.py:171-182) — migrating a real
+    distributed milestone checkpoint must produce the same flax params
+    as the in-memory conversion the other parity tests use."""
+    from dstdgcn_tpu.utils.convert import load_torch_state_dict
+
+    ref, model, variables = _models(seed=11)
+    want = variables["params"]
+
+    # format 1: bare state_dict
+    p1 = tmp_path / "bare.pth"
+    torch.save(ref.state_dict(), str(p1))
+    # format 2: the reference engine checkpoint with wrapper prefix
+    p2 = tmp_path / "engine.pth"
+    wrapped = {"model." + k: v for k, v in ref.state_dict().items()}
+    torch.save({"lr": 1e-3, "err": 42.0, "model": wrapped,
+                "optimizer": {}, "scheduler": {}, "epoch": 7}, str(p2))
+
+    for path in (p1, p2):
+        sd = load_torch_state_dict(str(path))
+        got = torch_state_to_flax(sd, num_layers=CFG["num_layers"],
+                                  joints=CFG["joints_to_consider"])["params"]
+        flat_w = jax.tree_util.tree_leaves_with_path(want)
+        flat_g = dict(jax.tree_util.tree_leaves_with_path(got))
+        assert len(flat_w) == len(flat_g)
+        for k, v in flat_w:
+            np.testing.assert_array_equal(np.asarray(v),
+                                          np.asarray(flat_g[k]), str(k))
