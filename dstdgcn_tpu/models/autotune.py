@@ -85,8 +85,14 @@ def resolve_knob(name: str, value: Union[str, int, None],
     ``auto_batch_hint``) overrides the traced shape so (a) a ragged final
     batch does not flip the knobs mid-run — one step per epoch silently
     trading bf16 for f32 AND paying a fresh remote compile — and (b) all
-    shapes of a run share one knob set.
+    shapes of a run share one knob set.  The hint is the PER-PROCESS
+    loader batch, while the traced shape and the mesh data axis are
+    global — multiply by process_count so both inputs reach
+    :func:`per_chip_batch` in global terms.
     """
     if value == "auto":
+        if batch_hint is not None:
+            import jax
+            batch_hint = batch_hint * jax.process_count()
         return resolve_auto(per_chip_batch(batch_hint or batch_size))[name]
     return value

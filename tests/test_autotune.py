@@ -108,3 +108,22 @@ def test_auto_resolves_per_chip_batch_under_mesh():
         assert per_chip_batch(256) == 32
         assert resolve_knob("compute_dtype", "auto", 256) is None
         assert resolve_knob("compute_dtype", "auto", 1024) == "bfloat16"
+
+
+def test_batch_hint_globalized_across_processes(monkeypatch):
+    """The runner's auto_batch_hint is the PER-PROCESS loader batch;
+    under a multi-host launch it must be globalized (x process_count)
+    before the per-chip division, or the policy would underestimate the
+    per-chip shard by the process count."""
+    import jax
+
+    from dstdgcn_tpu.parallel import activation_sharding_context, make_mesh
+
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    mesh = make_mesh(data=8, graph=1)
+    with activation_sharding_context(mesh):
+        # per-process hint 256 -> global 1024 -> per-chip 128: tuned regime
+        assert resolve_knob("compute_dtype", "auto", 999, 256) == "bfloat16"
+        assert resolve_knob("agg_group_spatial", "auto", 999, 256) == 5
+        # per-process hint 64 -> global 256 -> per-chip 32: f32 regime
+        assert resolve_knob("compute_dtype", "auto", 999, 64) is None
