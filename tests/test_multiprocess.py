@@ -22,8 +22,6 @@ import socket
 import subprocess
 import sys
 
-import pytest
-
 _WORKER = r'''
 import os, sys, json
 sys.path.insert(0, os.environ["REPO"])
