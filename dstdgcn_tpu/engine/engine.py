@@ -167,12 +167,11 @@ class PredictionEngine:
         # with the parity configs).  Measured r5 (flagship batch 128):
         # dropout costs ~0.12 ms in the forward (PROBES_r05 fwd_train
         # rows) and the same-session train-step deltas rbg-vs-threefry
-        # are -3.3 and -0.26 ms across two bench sessions
-        # (BENCH_r05_session.json train_step_ms_b128_tuned 34.9 vs
-        # _tuned_threefry 38.2; an earlier session 38.44 vs 38.70) —
-        # session-variant in size but never slower, so the tuned configs
-        # ship prng_impl: rbg.  Masks remain iid Bernoulli; only the
-        # random stream differs.
+        # across four r5 pairs are -5.3 / -3.3 / -0.26 / +0.58 ms
+        # (committed snapshot: 34.9 vs 38.2; full record PROBES_r05.md)
+        # — within tunnel noise at worst, multi-ms in rbg's favor at
+        # best, so the tuned configs ship prng_impl: rbg.  Masks remain
+        # iid Bernoulli; only the random stream differs.
         impl = self.config.get("prng_impl") or None
         dropout_key = (jax.random.key(seed + 1) if impl is None
                        else jax.random.key(seed + 1, impl=impl))

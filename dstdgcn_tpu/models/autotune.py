@@ -21,8 +21,11 @@ SHAPE-DEPENDENT on a v5e chip:
                                            tuned_g 70.3 (block-diagonal
                                            FLOP waste dominates once the
                                            MXU is saturated); b512 f32
-                                           27.1 vs bf16 27.4 is a tie
-                                           within tunnel variance
+                                           27.1 vs bf16 27.4 forward is
+                                           a tie, but the b512 TRAIN
+                                           step is decisive (PROBES_r05
+                                           train_b512: bf16 170.8 vs
+                                           f32 237.5 / grouped 198.6)
   otherwise       bf16 + (5, 2) grouped    b128 flagship 4.64 ms vs 6.14
                   aggregation              ungrouped; cmu/3dpw rows
                                            1.42-1.62x reference-style
